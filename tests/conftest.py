@@ -1,0 +1,27 @@
+"""Test configuration: force a virtual 8-device CPU mesh and float64.
+
+The reference runs float64 on CPU; golden/parity tests therefore run on the
+CPU backend with x64 enabled.  Multi-chip sharding tests use the 8 virtual
+host devices (SURVEY.md section 4).  TPU behavior (f32) is covered by bench
+runs, not unit tests.
+
+NOTE: the environment's 'axon' TPU plugin ignores the JAX_PLATFORMS env
+var, so the platform is forced via jax.config instead.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the jitted SCP/ADMM programs are large;
+# caching makes repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_centroidal")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
