@@ -25,12 +25,17 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--preset", default="solo12_trot_n50",
                     choices=sorted(presets.PRESETS))
+    ap.add_argument("--backend", default="block",
+                    choices=["block", "dense"])
     args = ap.parse_args()
 
-    qp = QPSettings(eps_abs=2e-4, eps_rel=2e-4, max_iter=4000,
+    qp = QPSettings(eps_abs=5e-4, eps_rel=5e-4, max_iter=4000,
                     adaptive_rho=False)
     prob = presets.build_problem(presets.PRESETS[args.preset],
                                  dtype=jnp.float32, qp=qp)
+    import dataclasses
+    prob = dataclasses.replace(
+        prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend))
 
     batch = args.batch
     key = jax.random.PRNGKey(0)
@@ -67,7 +72,7 @@ def main():
     }))
     # diagnostics on stderr-ish second line (driver reads line 1)
     import sys
-    print(f"# batch={batch} best={best*1e3:.1f}ms "
+    print(f"# backend={args.backend} batch={batch} best={best*1e3:.1f}ms "
           f"success={n_success}/{batch} mean_qp_iters="
           f"{float(jnp.mean(sol.qp_iterations)):.0f} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)

@@ -196,18 +196,22 @@ def lqr_gain(model: CentroidalModel, A, B, n_iter: int = 2):
 
     Reference: compute_lqr_feedback_gains (src/centroidal_model.py:217-228):
     P <- Q; repeat n_iter: P <- Q + A'PA - A'PB (R + B'PB)^-1 B'PA;
-    K = -(R + B'PB)^-1 B'PA.
+    K = -(R + B'PB)^-1 B'PA.  The SPD solves use the matmul-only
+    Newton-Schulz inverse (ops/linalg.py) -- batched tiny LU/Cholesky
+    lowers poorly on TPU and dominated the linearization profile.
     """
+    from centroidal_mpc_tpu.ops.linalg import spd_inverse
     Q, R = model.Q, model.R
 
     def dare(P, _):
         AtP = A.T @ P
         AtPB = AtP @ B
-        P_next = (Q + AtP @ A) - AtPB @ jnp.linalg.solve(R + B.T @ P @ B, AtPB.T)
+        H_inv = spd_inverse(R + B.T @ P @ B)
+        P_next = (Q + AtP @ A) - AtPB @ H_inv @ AtPB.T
         return P_next, None
 
     P, _ = jax.lax.scan(dare, Q, None, length=n_iter)
-    return -jnp.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+    return -spd_inverse(R + B.T @ P @ B) @ (B.T @ P @ A)
 
 
 def propagate_covariance(model: CentroidalModel, A, B, C, K, sigma0=None):

@@ -1,0 +1,590 @@
+"""Structure-exploiting ADMM QP solver on per-knot blocks.
+
+This is the production TPU path.  The dense solver (ops/admm.py) carries
+O(n^2) matrices (n ~ 1160 for N=50) through every iteration -- at ~0.85
+FLOP/byte it is HBM-bandwidth-bound and caps out far below the BASELINE.md
+throughput target.  This module solves the *same* QP (same math contract,
+OSQP-style ADMM, Ruiz scaling, per-row rho) but never materializes a dense
+matrix:
+
+  * decision variables stay shaped per knot: W = (N+1, V) with
+    V = nx + nu + 1 (state, control, trust slack; the control slot of the
+    terminal knot is a padded dummy);
+  * the constraint operator A is applied as batched einsums over knots
+    (linearized dynamics blocks, rotated friction pyramids, sign-enumerated
+    trust rows) -- O(N * V^2) work and bytes per application;
+  * the ADMM normal matrix M = P + sigma I + A' diag(rho) A is
+    block-tridiagonal in the knots; it is factorized once per solve by a
+    blocked Cholesky (scan over knots, V x V blocks) and each iteration
+    performs one forward/backward block sweep.
+
+Per-iteration state is ~100x smaller than the dense path, which moves the
+throughput ceiling from HBM bandwidth to compute.  All loops are scans,
+everything vmaps over scenario batches.
+
+Currently supports POINT3 robots (solo12, bolt); WRENCH6 (talos CoP rows)
+still routes through the dense solver.
+
+Reference semantics preserved: decision layout and row meaning follow
+src/optimizer.py / src/constraints.py; dynamics rows carry the +-1e-12
+feasibility slack; the unilateral pyramid row stays empty unless
+`fill_unilateral` (src/constraints.py:180).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from centroidal_mpc_tpu.contact.plan import ContactSchedule
+from centroidal_mpc_tpu.models.centroidal import (CentroidalModel, N_X,
+                                                  TrajectoryData)
+from centroidal_mpc_tpu.ops.admm import QPSettings
+from centroidal_mpc_tpu.solver.ocp import (DYN_SLACK, INF, OcpConfig,
+                                           sign_enumeration_matrix)
+
+
+class BlockQP(struct.PyTreeNode):
+    """Block-structured QP data (unscaled).
+
+    Cost: 1/2 x'Wx x + qx'x per state knot, 1/2 u'Wu u + qu'u per control
+    knot, qt' t on trust slacks.  Constraints per group:
+      init:  x_0 = x_init (+- 0)
+      dyn:   A_k x_k + B_k u_k - x_{k+1} = r_k (+- DYN_SLACK)
+      final: x_N = x_final
+      fric:  G_kcr . u_force <= fric_ub   (5 rows/contact, inner pyramid)
+      trust: penum x_ang - t/omega <= trust_ub
+      slack: -t <= 0
+    """
+
+    Wx: jnp.ndarray        # (nx, nx) state cost block (shared across knots)
+    Wu: jnp.ndarray        # (nu, nu)
+    qx: jnp.ndarray        # (N+1, nx)
+    qt: jnp.ndarray        # (N+1,)
+    A: jnp.ndarray         # (N, nx, nx)
+    B: jnp.ndarray         # (N, nx, nu)
+    r_dyn: jnp.ndarray     # (N, nx)
+    x_init: jnp.ndarray    # (nx,)
+    x_final: jnp.ndarray   # (nx,)
+    G: jnp.ndarray         # (N, C, 5, 3) rotated, logic-gated pyramid
+    fric_ub: jnp.ndarray   # (N, C, 5)
+    penum: jnp.ndarray     # (8, 3)
+    inv_omega: jnp.ndarray # scalar 1/omega
+    trust_ub: jnp.ndarray  # (N+1, 8)
+
+    @property
+    def horizon(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def n_u(self) -> int:
+        return self.B.shape[2]
+
+
+def build_block_qp(model: CentroidalModel, schedule: ContactSchedule,
+                   cfg: OcpConfig, X_prev: jnp.ndarray, U_prev: jnp.ndarray,
+                   data: TrajectoryData, radius, weight) -> BlockQP:
+    """Assemble the block QP (same math as solver.ocp.build_qp)."""
+    if model.contact_model != "point3":
+        raise NotImplementedError(
+            "block solver currently supports point3 robots; wrench6 (talos "
+            "CoP rows) uses the dense path")
+    dtype = X_prev.dtype
+    rot_pyr = jnp.einsum("ri,kcji->kcrj", cfg.pyramid, schedule.orientation)
+    rot_pyr = rot_pyr * schedule.logic[:, :, None, None]
+    if not cfg.fill_unilateral:
+        rot_pyr = rot_pyr.at[:, :, 4, :].set(0.0)
+    N, C = rot_pyr.shape[0], rot_pyr.shape[1]
+    fric_ub = jnp.zeros((N, C, 5), dtype)
+    if cfg.stochastic:
+        from centroidal_mpc_tpu.solver.ocp import _chance_backoffs
+        fric_ub = fric_ub - _chance_backoffs(model, cfg, data, rot_pyr)
+    qx = (-(cfg.X_track @ cfg.Wx.T) if cfg.track_state
+          else jnp.zeros_like(X_prev))
+    penum = sign_enumeration_matrix(3, dtype)
+    r_dyn = (jnp.einsum("kij,kj->ki", data.A, X_prev[:-1])
+             + jnp.einsum("kij,kj->ki", data.B, U_prev) - data.f)
+    return BlockQP(
+        Wx=cfg.Wx, Wu=cfg.Wu, qx=qx,
+        qt=jnp.ones(N + 1, dtype),
+        A=data.A, B=data.B, r_dyn=r_dyn,
+        x_init=cfg.x_init, x_final=cfg.x_final,
+        G=rot_pyr, fric_ub=fric_ub, penum=penum,
+        inv_omega=1.0 / jnp.asarray(weight, dtype),
+        trust_ub=radius + X_prev[:, 6:9] @ penum.T,
+    )
+
+
+class ZGroups(NamedTuple):
+    """Constraint-space vector, grouped by row family."""
+
+    init: jnp.ndarray    # (nx,)
+    dyn: jnp.ndarray     # (N, nx)
+    final: jnp.ndarray   # (nx,)
+    fric: jnp.ndarray    # (N, C, 5)
+    trust: jnp.ndarray   # (N+1, 8)
+    slack: jnp.ndarray   # (N+1,)
+
+
+def _zmap(f, *zs: ZGroups) -> ZGroups:
+    return ZGroups(*(f(*parts) for parts in zip(*zs)))
+
+
+def _zmax(z: ZGroups) -> jnp.ndarray:
+    return jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(z.init).max(), jnp.abs(z.dyn).max()),
+                    jnp.maximum(jnp.abs(z.final).max(),
+                                jnp.abs(z.fric).max())),
+        jnp.maximum(jnp.abs(z.trust).max(), jnp.abs(z.slack).max()))
+
+
+class WVars(NamedTuple):
+    """Variable-space vector: states, controls, trust slacks."""
+
+    x: jnp.ndarray   # (N+1, nx)
+    u: jnp.ndarray   # (N, nu)
+    t: jnp.ndarray   # (N+1,)
+
+
+def _wmap(f, *ws: WVars) -> WVars:
+    return WVars(*(f(*parts) for parts in zip(*ws)))
+
+
+def _wmax(w: WVars) -> jnp.ndarray:
+    return jnp.maximum(jnp.abs(w.x).max(),
+                       jnp.maximum(jnp.abs(w.u).max(), jnp.abs(w.t).max()))
+
+
+class _Scaled(NamedTuple):
+    """Ruiz-scaled problem blocks.  Hatted quantities absorb both the row
+    scaling E (per constraint) and column scaling D (per variable)."""
+
+    Px: jnp.ndarray       # (N+1, nx, nx) scaled state cost (includes c)
+    Pu: jnp.ndarray       # (N, nu, nu)
+    q: WVars              # scaled linear cost
+    d0: jnp.ndarray       # (nx,) init-row diagonal
+    Ah: jnp.ndarray       # (N, nx, nx)
+    Bh: jnp.ndarray       # (N, nx, nu)
+    Ih: jnp.ndarray       # (N, nx) diagonal coefficient of x_{k+1}
+    dN: jnp.ndarray       # (nx,) final-row diagonal
+    Gh: jnp.ndarray       # (N, C, 5, 3)
+    Th: jnp.ndarray       # (N+1, 8, 3) trust rows on angular momentum
+    wh: jnp.ndarray       # (N+1, 8) trust-row slack coefficient (positive)
+    sh: jnp.ndarray       # (N+1,) slack-row coefficient (positive)
+    l: ZGroups
+    u: ZGroups
+    D: WVars              # variable scaling
+    E: ZGroups            # row scaling
+    c: jnp.ndarray        # cost scaling
+
+
+def _apply_A(s: _Scaled, w: WVars) -> ZGroups:
+    x, u, t = w
+    C = s.Gh.shape[1]
+    n = s.Ah.shape[0]
+    u_f = u.reshape(n, C, 3) if s.Gh.shape[3] == 3 else u
+    return ZGroups(
+        init=s.d0 * x[0],
+        dyn=(jnp.einsum("kij,kj->ki", s.Ah, x[:-1])
+             + jnp.einsum("kij,kj->ki", s.Bh, u) - s.Ih * x[1:]),
+        final=s.dN * x[-1],
+        fric=jnp.einsum("kcrj,kcj->kcr", s.Gh, u_f),
+        trust=(jnp.einsum("kpj,kj->kp", s.Th, x[:, 6:9])
+               - s.wh * t[:, None]),
+        slack=-s.sh * t,
+    )
+
+
+def _apply_AT(s: _Scaled, z: ZGroups) -> WVars:
+    n, C = s.Ah.shape[0], s.Gh.shape[1]
+    x = jnp.zeros((n + 1, s.Ah.shape[1]), z.dyn.dtype)
+    x = x.at[0].add(s.d0 * z.init)
+    x = x.at[:-1].add(jnp.einsum("kij,ki->kj", s.Ah, z.dyn))
+    x = x.at[1:].add(-s.Ih * z.dyn)
+    x = x.at[-1].add(s.dN * z.final)
+    x = x.at[:, 6:9].add(jnp.einsum("kpj,kp->kj", s.Th, z.trust))
+    u = jnp.einsum("kij,ki->kj", s.Bh, z.dyn)
+    u = u + jnp.einsum("kcrj,kcr->kcj", s.Gh, z.fric).reshape(n, -1)
+    t = -(s.wh * z.trust).sum(-1) - s.sh * z.slack
+    return WVars(x=x, u=u, t=t)
+
+
+def _row_norms(s: _Scaled) -> ZGroups:
+    return ZGroups(
+        init=jnp.abs(s.d0),
+        dyn=jnp.maximum(jnp.abs(s.Ah).max(-1),
+                        jnp.maximum(jnp.abs(s.Bh).max(-1), jnp.abs(s.Ih))),
+        final=jnp.abs(s.dN),
+        fric=jnp.abs(s.Gh).max(-1),
+        trust=jnp.maximum(jnp.abs(s.Th).max(-1), s.wh),
+        slack=s.sh,
+    )
+
+
+def _col_norms(s: _Scaled) -> WVars:
+    """Per-variable inf-norm over the stacked [P; A] columns."""
+    n, nx = s.Ah.shape[0], s.Ah.shape[1]
+    cx = jnp.abs(s.Px).max(1)                                  # (N+1, nx)
+    cx = cx.at[:-1].max(jnp.abs(s.Ah).max(1))
+    cx = cx.at[1:].max(jnp.abs(s.Ih))
+    cx = cx.at[0].max(jnp.abs(s.d0))
+    cx = cx.at[-1].max(jnp.abs(s.dN))
+    cx = cx.at[:, 6:9].max(jnp.abs(s.Th).max(1))
+    cu = jnp.abs(s.Pu).max(1)
+    cu = jnp.maximum(cu, jnp.abs(s.Gh).max(2).reshape(n, -1))
+    cu = jnp.maximum(cu, jnp.abs(s.Bh).max(1))
+    ct = jnp.maximum(s.wh.max(-1), s.sh)
+    return WVars(x=cx, u=cu, t=ct)
+
+
+def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
+    N, nx, nu = qp.horizon, qp.A.shape[1], qp.n_u
+    dtype = qp.A.dtype
+    eps = jnp.asarray(DYN_SLACK, dtype)
+    s = _Scaled(
+        Px=jnp.broadcast_to(qp.Wx, (N + 1, nx, nx)),
+        Pu=jnp.broadcast_to(qp.Wu, (N, nu, nu)),
+        q=WVars(x=qp.qx, u=jnp.zeros((N, nu), dtype), t=qp.qt),
+        d0=jnp.ones(nx, dtype),
+        Ah=qp.A, Bh=qp.B, Ih=jnp.ones((N, nx), dtype),
+        dN=jnp.ones(nx, dtype),
+        Gh=qp.G,
+        Th=jnp.broadcast_to(qp.penum, (N + 1, 8, 3)),
+        wh=jnp.broadcast_to(qp.inv_omega, (N + 1, 8)).astype(dtype),
+        sh=jnp.ones(N + 1, dtype),
+        l=ZGroups(init=qp.x_init, dyn=qp.r_dyn - eps, final=qp.x_final,
+                  fric=jnp.full_like(qp.fric_ub, -INF),
+                  trust=jnp.full_like(qp.trust_ub, -INF),
+                  slack=jnp.full(N + 1, -INF, dtype)),
+        u=ZGroups(init=qp.x_init, dyn=qp.r_dyn + eps, final=qp.x_final,
+                  fric=qp.fric_ub, trust=qp.trust_ub,
+                  slack=jnp.zeros(N + 1, dtype)),
+        D=WVars(x=jnp.ones((N + 1, nx), dtype),
+                u=jnp.ones((N, nu), dtype), t=jnp.ones(N + 1, dtype)),
+        E=ZGroups(init=jnp.ones(nx, dtype), dyn=jnp.ones((N, nx), dtype),
+                  final=jnp.ones(nx, dtype),
+                  fric=jnp.ones_like(qp.fric_ub),
+                  trust=jnp.ones_like(qp.trust_ub),
+                  slack=jnp.ones(N + 1, dtype)),
+        c=jnp.ones((), dtype),
+    )
+
+    def rescale(s: _Scaled, d: WVars, e: ZGroups, gamma) -> _Scaled:
+        C = s.Gh.shape[1]
+        n = s.Ah.shape[0]
+        du_f = d.u.reshape(n, C, 3)
+        return s._replace(
+            Px=s.Px * d.x[:, :, None] * d.x[:, None, :] * gamma,
+            Pu=s.Pu * d.u[:, :, None] * d.u[:, None, :] * gamma,
+            q=WVars(x=s.q.x * d.x * gamma, u=s.q.u * d.u * gamma,
+                    t=s.q.t * d.t * gamma),
+            d0=s.d0 * e.init * d.x[0],
+            Ah=s.Ah * e.dyn[:, :, None] * d.x[:-1, None, :],
+            Bh=s.Bh * e.dyn[:, :, None] * d.u[:, None, :],
+            Ih=s.Ih * e.dyn * d.x[1:],
+            dN=s.dN * e.final * d.x[-1],
+            Gh=s.Gh * e.fric[..., None] * du_f[:, :, None, :],
+            Th=s.Th * e.trust[..., None] * d.x[:, None, 6:9],
+            wh=s.wh * e.trust * d.t[:, None],
+            sh=s.sh * e.slack * d.t,
+            l=_zmap(lambda a, b: a * b, s.l, e),
+            u=_zmap(lambda a, b: a * b, s.u, e),
+            D=_wmap(lambda a, b: a * b, s.D, d),
+            E=_zmap(lambda a, b: a * b, s.E, e),
+            c=s.c * gamma,
+        )
+
+    def body(_, s: _Scaled) -> _Scaled:
+        # Column and row norms are both taken from the SAME current scaled
+        # problem, then applied together -- matching ops.admm (and OSQP's)
+        # iteration so both paths reach the same equilibrium and therefore
+        # the same relative termination thresholds.
+        cn = _col_norms(s)
+        d = _wmap(lambda a: 1.0 / jnp.sqrt(jnp.where(a > 0, a, 1.0)), cn)
+        rn = _row_norms(s)
+        e = _zmap(lambda a: 1.0 / jnp.sqrt(jnp.where(a > 0, a, 1.0)), rn)
+        s = rescale(s, d, e, 1.0)
+        # cost normalization: gamma = 1/max(mean |P| col norm, |q|_inf).
+        # The mean runs over the full dense variable count (including the
+        # all-zero slack columns) so the cost scale c -- and with it the
+        # relative dual tolerance -- matches ops.admm exactly.
+        n_dense = (nx * (N + 1) + nu * N) + (N + 1) + N
+        p_sum = jnp.abs(s.Px).max(1).sum() + jnp.abs(s.Pu).max(1).sum()
+        gamma_den = jnp.maximum(p_sum / n_dense, _wmax(s.q))
+        gamma = 1.0 / jnp.where(gamma_den > 0, gamma_den, 1.0)
+        return s._replace(Px=s.Px * gamma, Pu=s.Pu * gamma,
+                          q=_wmap(lambda a: a * gamma, s.q), c=s.c * gamma)
+
+    return jax.lax.fori_loop(0, iters, body, s, unroll=True)
+
+
+def _rho_groups(settings: QPSettings, rho) -> ZGroups:
+    """Per-group ADMM step sizes (equality rows get eq_rho_scale * rho)."""
+    req = settings.eq_rho_scale * rho
+    return ZGroups(init=req, dyn=req, final=req, fric=rho, trust=rho,
+                   slack=rho)
+
+
+def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
+    """Block-tridiagonal M = P + sigma I + A' diag(rho) A.
+
+    Returns (diag (N+1, V, V), off (N, V, V)) with per-knot variable
+    ordering [x (nx), u (nu), t (1)]; the control slot of knot N is a
+    padded dummy with unit diagonal.
+    """
+    N, nx, nu = s.Ah.shape[0], s.Ah.shape[1], s.Bh.shape[2]
+    V = nx + nu + 1
+    dtype = s.Ah.dtype
+    r = _rho_groups(settings, rho)
+    C = s.Gh.shape[1]
+
+    diag = jnp.zeros((N + 1, V, V), dtype)
+    # state cost + sigma
+    diag = diag.at[:, :nx, :nx].add(s.Px)
+    diag = diag.at[:, jnp.arange(V), jnp.arange(V)].add(sigma)
+    # control cost (knots < N); dummy identity on knot N's control slot
+    diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(s.Pu)
+    diag = diag.at[-1, nx + jnp.arange(nu), nx + jnp.arange(nu)].add(1.0)
+    # init / final rows
+    diag = diag.at[0, jnp.arange(nx), jnp.arange(nx)].add(r.init * s.d0**2)
+    diag = diag.at[-1, jnp.arange(nx), jnp.arange(nx)].add(r.final * s.dN**2)
+    # dynamics rows k: (A B) ' rho (A B) on knot k, I'rho I on knot k+1
+    diag = diag.at[:-1, :nx, :nx].add(
+        r.dyn * jnp.einsum("kij,kil->kjl", s.Ah, s.Ah))
+    diag = diag.at[:-1, :nx, nx:nx + nu].add(
+        r.dyn * jnp.einsum("kij,kil->kjl", s.Ah, s.Bh))
+    diag = diag.at[:-1, nx:nx + nu, :nx].add(
+        r.dyn * jnp.einsum("kij,kil->klj", s.Ah, s.Bh))
+    diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(
+        r.dyn * jnp.einsum("kij,kil->kjl", s.Bh, s.Bh))
+    diag = diag.at[1:, jnp.arange(nx), jnp.arange(nx)].add(r.dyn * s.Ih**2)
+    # friction rows: per-contact 3x3 blocks on the force columns
+    gtg = r.fric * jnp.einsum("kcrj,kcrl->kcjl", s.Gh, s.Gh)   # (N, C, 3, 3)
+    ci = nx + jnp.arange(C)[:, None] * 3 + jnp.arange(3)[None, :]  # (C, 3)
+    rows = ci[None, :, :, None] + jnp.zeros((1, 1, 1, 3), jnp.int32)
+    cols = ci[None, :, None, :] + jnp.zeros((1, 1, 3, 1), jnp.int32)
+    diag = diag.at[jnp.arange(N)[:, None, None, None], rows, cols].add(gtg)
+    # trust rows: on (ang, t)
+    diag = diag.at[:, 6:9, 6:9].add(
+        r.trust * jnp.einsum("kpj,kpl->kjl", s.Th, s.Th))
+    cross = -r.trust * jnp.einsum("kpj,kp->kj", s.Th, s.wh)    # (N+1, 3)
+    diag = diag.at[:, 6:9, V - 1].add(cross)
+    diag = diag.at[:, V - 1, 6:9].add(cross)
+    diag = diag.at[:, V - 1, V - 1].add(
+        r.trust * (s.wh**2).sum(-1) + r.slack * s.sh**2)
+
+    off = jnp.zeros((N, V, V), dtype)
+    # rows of knot k+1 (x part) coupling to knot k's (x, u)
+    off = off.at[:, :nx, :nx].set(-r.dyn * s.Ih[:, :, None] * s.Ah)
+    off = off.at[:, :nx, nx:nx + nu].set(-r.dyn * s.Ih[:, :, None] * s.Bh)
+    return diag, off
+
+
+class _TridiagFactor(NamedTuple):
+    """Inverted blocked Cholesky factor of the block-tridiagonal M.
+
+    Stored pre-inverted so the per-ADMM-iteration sweeps are pure matvec
+    recurrences (no triangular_solve inside the hot loop; tiny-triangular
+    solves lower poorly on TPU).  With L_kk = C_k, L_{k+1,k} = W_k:
+      Cinv:  C_k^{-1}               (N+1, V, V)
+      CinvT: C_k^{-T}               (N+1, V, V)
+      Pfwd:  C_k^{-1} W_{k-1}       (N, V, V)   forward coupling
+      Pbwd:  C_k^{-T} W_k'          (N, V, V)   backward coupling
+    """
+
+    Cinv: jnp.ndarray
+    CinvT: jnp.ndarray
+    Pfwd: jnp.ndarray
+    Pbwd: jnp.ndarray
+
+
+def _block_tridiag_cholesky(diag, off) -> _TridiagFactor:
+    """Blocked Cholesky M = L L' (sequential over knots, once per solve)."""
+
+    def step(carry, inputs):
+        prev_c = carry
+        d_k, o_prev = inputs
+        w = jax.scipy.linalg.solve_triangular(
+            prev_c, o_prev.T, lower=True).T            # W = O C^{-T}
+        c = jnp.linalg.cholesky(d_k - w @ w.T)
+        return c, (c, w)
+
+    c0 = jnp.linalg.cholesky(diag[0])
+    _, (cs, ws) = jax.lax.scan(step, c0, (diag[1:], off))
+    chol_c = jnp.concatenate([c0[None], cs], axis=0)
+    # Invert all factors at once (parallel over knots).
+    eye = jnp.broadcast_to(jnp.eye(diag.shape[1], dtype=diag.dtype),
+                           chol_c.shape)
+    cinv = jax.scipy.linalg.solve_triangular(chol_c, eye, lower=True)
+    cinv_t = cinv.swapaxes(-1, -2)
+    p_fwd = jnp.einsum("kij,kjl->kil", cinv[1:], ws)
+    p_bwd = jnp.einsum("kij,klj->kil", cinv_t[:-1], ws)
+    return _TridiagFactor(Cinv=cinv, CinvT=cinv_t, Pfwd=p_fwd, Pbwd=p_bwd)
+
+
+def _block_tridiag_solve(f: _TridiagFactor, b):
+    """Solve M w = b; b, w shaped (N+1, V).  Two matvec-only scans plus
+    two knot-parallel einsums."""
+    c = jnp.einsum("kij,kj->ki", f.Cinv, b)            # C_k^{-1} b_k
+
+    def fwd(v_prev, inputs):
+        c_k, p_k = inputs
+        v = c_k - p_k @ v_prev
+        return v, v
+
+    _, vs = jax.lax.scan(fwd, c[0], (c[1:], f.Pfwd))
+    v = jnp.concatenate([c[:1], vs], axis=0)
+
+    d = jnp.einsum("kij,kj->ki", f.CinvT, v)           # C_k^{-T} v_k
+
+    def bwd(w_next, inputs):
+        d_k, p_k = inputs
+        w = d_k - p_k @ w_next
+        return w, w
+
+    _, wss = jax.lax.scan(bwd, d[-1], (d[:-1], f.Pbwd), reverse=True)
+    return jnp.concatenate([wss, d[-1:]], axis=0)
+
+
+def _pack(w: WVars, nx, nu) -> jnp.ndarray:
+    n = w.u.shape[0]
+    W = jnp.zeros((n + 1, nx + nu + 1), w.x.dtype)
+    W = W.at[:, :nx].set(w.x)
+    W = W.at[:-1, nx:nx + nu].set(w.u)
+    W = W.at[:, -1].set(w.t)
+    return W
+
+
+def _unpack(W: jnp.ndarray, nx, nu) -> WVars:
+    return WVars(x=W[:, :nx], u=W[:-1, nx:nx + nu], t=W[:, -1])
+
+
+class BlockQPSolution(struct.PyTreeNode):
+    X: jnp.ndarray
+    U: jnp.ndarray
+    t: jnp.ndarray
+    y: ZGroups
+    iterations: jnp.ndarray
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
+                   w0: WVars | None = None,
+                   y0: ZGroups | None = None) -> BlockQPSolution:
+    """Structured ADMM solve; same semantics as ops.admm.solve_qp."""
+    N, nx, nu = qp.horizon, qp.A.shape[1], qp.n_u
+    dtype = qp.A.dtype
+    s = _ruiz(qp, settings.scaling_iters)
+    sigma = jnp.asarray(settings.sigma, dtype)
+    n_segments = -(-settings.max_iter // settings.check_interval)
+
+    def factor(rho):
+        diag, off = _assemble_blocks(s, settings, rho, sigma)
+        return _block_tridiag_cholesky(diag, off)
+
+    rho0 = jnp.asarray(settings.rho, dtype)
+    fac = factor(rho0)
+    rho_g = _rho_groups(settings, rho0)
+
+    if w0 is None:
+        w = WVars(x=jnp.zeros((N + 1, nx), dtype),
+                  u=jnp.zeros((N, nu), dtype), t=jnp.zeros(N + 1, dtype))
+    else:
+        w = _wmap(lambda a, b: a / b, w0, s.D)
+    if y0 is None:
+        y = _zmap(lambda a: jnp.zeros_like(a), s.l)
+    else:
+        y = _zmap(lambda a, b: s.c * a / b, y0, s.E)
+    z = _apply_A(s, w)
+
+    def admm_iter(_, state):
+        w, z, y, rho_g, fac = state
+        rz_y = ZGroups(*(rr * zz - yy for zz, yy, rr in zip(z, y, rho_g)))
+        rhs = _wmap(lambda ww, at, qq: sigma * ww + at - qq,
+                    w, _apply_AT(s, rz_y), s.q)
+        w_t = _unpack(_block_tridiag_solve(fac, _pack(rhs, nx, nu)),
+                      nx, nu)
+        z_t = _apply_A(s, w_t)
+        a = settings.alpha
+        w_new = _wmap(lambda wt, ww: a * wt + (1 - a) * ww, w_t, w)
+        z_rel = _zmap(lambda zt, zz: a * zt + (1 - a) * zz, z_t, z)
+
+        def project(zr, yy, rr, lo, hi):
+            return jnp.clip(zr + yy / rr, lo, hi)
+
+        z_new = ZGroups(
+            init=project(z_rel.init, y.init, rho_g.init, s.l.init, s.u.init),
+            dyn=project(z_rel.dyn, y.dyn, rho_g.dyn, s.l.dyn, s.u.dyn),
+            final=project(z_rel.final, y.final, rho_g.final, s.l.final,
+                          s.u.final),
+            fric=project(z_rel.fric, y.fric, rho_g.fric, s.l.fric, s.u.fric),
+            trust=project(z_rel.trust, y.trust, rho_g.trust, s.l.trust,
+                          s.u.trust),
+            slack=project(z_rel.slack, y.slack, rho_g.slack, s.l.slack,
+                          s.u.slack),
+        )
+        y_new = ZGroups(*(yy + rr * (zr - zn) for yy, rr, zr, zn in zip(
+            y, rho_g, z_rel, z_new)))
+        return w_new, z_new, y_new, rho_g, fac
+
+    def segment(carry):
+        w, z, y, rho, rho_g, fac, it, _, _, _ = carry
+        w, z, y, rho_g, fac = jax.lax.fori_loop(
+            0, settings.check_interval, admm_iter, (w, z, y, rho_g, fac))
+        it = it + settings.check_interval
+
+        Aw = _apply_A(s, w)
+        Pw = WVars(x=jnp.einsum("kij,kj->ki", s.Px, w.x),
+                   u=jnp.einsum("kij,kj->ki", s.Pu, w.u),
+                   t=jnp.zeros_like(w.t))
+        ATy = _apply_AT(s, y)
+        prim = _zmax(_zmap(lambda a, b, e: (a - b) / e, Aw, z, s.E))
+        dual = _wmax(_wmap(lambda p, q, at, d: (p + q + at) / d,
+                           Pw, s.q, ATy, s.D)) / s.c
+        prim_scale = jnp.maximum(
+            _zmax(_zmap(lambda a, e: a / e, Aw, s.E)),
+            _zmax(_zmap(lambda a, e: a / e, z, s.E)))
+        dual_scale = jnp.maximum(
+            jnp.maximum(_wmax(_wmap(lambda a, d: a / d, Pw, s.D)),
+                        _wmax(_wmap(lambda a, d: a / d, ATy, s.D))),
+            _wmax(_wmap(lambda a, d: a / d, s.q, s.D))) / s.c
+        eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
+        eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
+        done = (prim < eps_prim) & (dual < eps_dual)
+
+        if settings.adaptive_rho:
+            ratio = jnp.sqrt(
+                (prim / jnp.maximum(prim_scale, 1e-30))
+                / jnp.maximum(dual / jnp.maximum(dual_scale, 1e-30), 1e-30))
+            new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
+            trigger = ((ratio > settings.adaptive_rho_tol)
+                       | (ratio < 1.0 / settings.adaptive_rho_tol)) & ~done
+
+            def refactor(_):
+                return (new_rho, _rho_groups(settings, new_rho),
+                        factor(new_rho))
+
+            rho, rho_g, fac = jax.lax.cond(
+                trigger, refactor, lambda _: (rho, rho_g, fac), None)
+
+        return w, z, y, rho, rho_g, fac, it, prim, dual, done
+
+    def cond(carry):
+        *_, it, _, _, done = carry
+        return (~done) & (it < n_segments * settings.check_interval)
+
+    init = (w, z, y, rho0, rho_g, fac,
+            jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
+    w, z, y, _, _, _, it, prim, dual, done = jax.lax.while_loop(
+        cond, segment, init)
+    w_un = _wmap(lambda a, d: a * d, w, s.D)
+    y_un = _zmap(lambda a, e: a * e / s.c, y, s.E)
+    return BlockQPSolution(X=w_un.x, U=w_un.u, t=w_un.t, y=y_un,
+                           iterations=it, prim_res=prim, dual_res=dual,
+                           converged=done)

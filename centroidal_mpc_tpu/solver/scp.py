@@ -35,6 +35,7 @@ from centroidal_mpc_tpu.models.centroidal import (CentroidalModel,
                                                   compute_trajectory_data,
                                                   model_accuracy)
 from centroidal_mpc_tpu.ops.admm import QPSettings, solve_qp
+from centroidal_mpc_tpu.ops import blockqp
 from centroidal_mpc_tpu.solver.ocp import N_X, OcpConfig, build_qp, qp_dims
 
 
@@ -53,6 +54,10 @@ class ScpSettings:
     convergence_threshold: float = 1e-3
     max_iterations: int = 10
     update_linearization: bool = False  # reference-compat default
+    # 'dense' = ops.admm on the assembled matrices (reference path, any
+    # robot); 'block' = ops.blockqp structure-exploiting solver (the TPU
+    # throughput path, point3 robots).
+    qp_backend: str = "dense"
     qp: QPSettings = QPSettings()
 
 
@@ -115,6 +120,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         conv: jnp.ndarray
         warm_x: jnp.ndarray
         warm_y: jnp.ndarray
+        warm_t: jnp.ndarray
 
     init = Carry(
         X_lin=X0, U_lin=U0, X_cmp=X0, U_cmp=U0,
@@ -130,8 +136,11 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         qp_ok=jnp.asarray(True),
         rho=jnp.zeros((), dtype),
         conv=jnp.zeros((), dtype),
-        warm_x=jnp.zeros(n, dtype),
+        # block backend warm-starts only (X, U); dense uses the full layout
+        warm_x=jnp.zeros(N_X * (N + 1) + model.n_u * N
+                         if settings.qp_backend == "block" else n, dtype),
         warm_y=jnp.zeros(m, dtype),
+        warm_t=jnp.zeros(N + 1, dtype),
     )
 
     def cond(c: Carry):
@@ -145,12 +154,28 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
 
     def body(c: Carry):
         data = compute_trajectory_data(model, schedule, c.X_lin, c.U_lin)
-        qp = build_qp(model, schedule, cfg, c.X_lin, c.U_lin, data,
-                      c.radius, c.weight)
-        sol = solve_qp(qp, settings.qp, x0=c.warm_x, y0=c.warm_y)
-        X_sol = sol.x[:N_X * (N + 1)].reshape(N + 1, N_X)
-        U_sol = sol.x[N_X * (N + 1):N_X * (N + 1) + model.n_u * N].reshape(
-            N, model.n_u)
+        if settings.qp_backend == "block":
+            qp = blockqp.build_block_qp(model, schedule, cfg, c.X_lin,
+                                        c.U_lin, data, c.radius, c.weight)
+            w0 = blockqp.WVars(
+                x=c.warm_x[:N_X * (N + 1)].reshape(N + 1, N_X),
+                u=c.warm_x[N_X * (N + 1):].reshape(N, model.n_u),
+                t=c.warm_t)
+            bsol = blockqp.solve_block_qp(qp, settings.qp, w0=w0)
+            X_sol, U_sol = bsol.X, bsol.U
+            sol_warm_x = jnp.concatenate([X_sol.reshape(-1),
+                                          U_sol.reshape(-1)])
+            sol_warm_y, sol_warm_t = c.warm_y, bsol.t
+            sol_iters, sol_converged = bsol.iterations, bsol.converged
+        else:
+            qp = build_qp(model, schedule, cfg, c.X_lin, c.U_lin, data,
+                          c.radius, c.weight)
+            sol = solve_qp(qp, settings.qp, x0=c.warm_x, y0=c.warm_y)
+            X_sol = sol.x[:N_X * (N + 1)].reshape(N + 1, N_X)
+            U_sol = sol.x[N_X * (N + 1):N_X * (N + 1)
+                          + model.n_u * N].reshape(N, model.n_u)
+            sol_warm_x, sol_warm_y, sol_warm_t = sol.x, sol.y, c.warm_t
+            sol_iters, sol_converged = sol.iterations, sol.converged
 
         inside = _matrix_norm2(X_sol - c.X_cmp) < c.radius
         rho = model_accuracy(model, schedule, X_sol, U_sol,
@@ -159,7 +184,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         # A non-converged QP (infeasible or iteration-limited) is never
         # accepted; the loop condition also aborts, mirroring the
         # reference's bare-False return (src/scp_solver.py:146-148).
-        accept = inside & accurate & sol.converged
+        accept = inside & accurate & sol_converged
 
         radius = jnp.where(
             inside & ~accurate, c.radius * settings.beta_fail,
@@ -190,9 +215,10 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
             X_acc=X_acc, U_acc=U_acc, K_acc=K_acc, Sigma_acc=Sigma_acc,
             radius=radius, weight=weight, it=c.it + 1, success=accept,
             accepted=c.accepted + accept.astype(jnp.int32),
-            qp_iters=c.qp_iters + sol.iterations,
-            qp_ok=c.qp_ok & sol.converged,
-            rho=rho, conv=conv, warm_x=sol.x, warm_y=sol.y)
+            qp_iters=c.qp_iters + sol_iters,
+            qp_ok=c.qp_ok & sol_converged,
+            rho=rho, conv=conv, warm_x=sol_warm_x, warm_y=sol_warm_y,
+            warm_t=sol_warm_t)
 
     c = jax.lax.while_loop(cond, body, init)
     return ScpSolution(

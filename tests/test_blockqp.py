@@ -1,0 +1,147 @@
+"""Block-structured QP solver tests: equivalence with the dense path."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centroidal_mpc_tpu.config import presets
+from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
+from centroidal_mpc_tpu.ops import blockqp
+from centroidal_mpc_tpu.ops.admm import QPSettings, solve_qp
+from centroidal_mpc_tpu.solver.ocp import build_qp, qp_dims
+from centroidal_mpc_tpu.solver.scp import solve_scp
+
+
+@pytest.fixture(scope="module")
+def problem():
+    prob = presets.build_problem(presets.SOLO12_TROT_N50, dtype=jnp.float64)
+    data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                   prob.X0, prob.U0)
+    return prob, data
+
+
+def _dense_of_block(prob, data, r, w):
+    return build_qp(prob.model, prob.plan.schedule, prob.ocp, prob.X0,
+                    prob.U0, data, jnp.asarray(r), jnp.asarray(w))
+
+
+def test_block_operator_matches_dense_matrix(problem):
+    """apply_A of the block path equals the dense A on random vectors."""
+    prob, data = problem
+    N, nu = prob.plan.horizon, 12
+    qp_d = _dense_of_block(prob, data, 100.0, 100.0)
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    s = blockqp._ruiz(qp_b, 0)  # unscaled operator
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=9 * (N + 1))
+    u = rng.normal(size=nu * N)
+    t = rng.normal(size=N + 1)
+    z_dense = np.asarray(qp_d.A) @ np.concatenate([x, u, t, np.zeros(N)])
+    w = blockqp.WVars(x=jnp.asarray(x.reshape(N + 1, 9)),
+                      u=jnp.asarray(u.reshape(N, nu)), t=jnp.asarray(t))
+    z = blockqp._apply_A(s, w)
+    n, segs = qp_dims(prob.model, N)
+    off, acc = {}, 0
+    for k, v in segs.items():
+        off[k] = acc
+        acc += v
+    np.testing.assert_allclose(np.asarray(z.init), z_dense[off["initial"]:off["initial"] + 9], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(z.dyn).reshape(-1),
+                               z_dense[off["dynamics"]:off["dynamics"] + 9 * N], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(z.final), z_dense[off["final"]:off["final"] + 9], atol=1e-10)
+    # dense friction rows are contact-major; block is (N, C, 5)
+    fric_dense = z_dense[off["friction"]:off["friction"] + 4 * 5 * N]
+    fric_block = np.asarray(z.fric).transpose(1, 0, 2).reshape(-1)
+    np.testing.assert_allclose(fric_block, fric_dense, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(z.trust).reshape(-1),
+                               z_dense[off["trust"]:off["trust"] + 8 * (N + 1)], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(z.slack),
+                               z_dense[off["slack"]:off["slack"] + N + 1], atol=1e-10)
+
+
+def test_apply_AT_is_adjoint(problem):
+    prob, data = problem
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    s = blockqp._ruiz(qp_b, 3)
+    N = prob.plan.horizon
+    rng = np.random.default_rng(1)
+    w = blockqp.WVars(x=jnp.asarray(rng.normal(size=(N + 1, 9))),
+                      u=jnp.asarray(rng.normal(size=(N, 12))),
+                      t=jnp.asarray(rng.normal(size=N + 1)))
+    z = blockqp.ZGroups(*(jnp.asarray(rng.normal(size=np.asarray(a).shape))
+                          for a in blockqp._apply_A(s, w)))
+    lhs = sum(float(jnp.vdot(a, b)) for a, b in zip(blockqp._apply_A(s, w), z))
+    rhs = sum(float(jnp.vdot(a, b)) for a, b in zip(w, blockqp._apply_AT(s, z)))
+    assert abs(lhs - rhs) < 1e-8 * max(abs(lhs), 1.0)
+
+
+def test_tridiag_factorization_solves_M(problem):
+    """Block Cholesky solve agrees with dense solve of the assembled M."""
+    prob, data = problem
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    s = blockqp._ruiz(qp_b, 5)
+    settings = QPSettings()
+    rho = jnp.asarray(0.1, jnp.float64)
+    diag, off = blockqp._assemble_blocks(s, settings, rho,
+                                         jnp.asarray(1e-6, jnp.float64))
+    N, V = diag.shape[0] - 1, diag.shape[1]
+    # dense M from blocks
+    M = np.zeros((diag.shape[0] * V, diag.shape[0] * V))
+    for k in range(N + 1):
+        M[k * V:(k + 1) * V, k * V:(k + 1) * V] = np.asarray(diag[k])
+    for k in range(N):
+        M[(k + 1) * V:(k + 2) * V, k * V:(k + 1) * V] = np.asarray(off[k])
+        M[k * V:(k + 1) * V, (k + 1) * V:(k + 2) * V] = np.asarray(off[k]).T
+    rng = np.random.default_rng(2)
+    b = rng.normal(size=(N + 1, V))
+    fac = blockqp._block_tridiag_cholesky(diag, off)
+    w = blockqp._block_tridiag_solve(fac, jnp.asarray(b))
+    w_dense = np.linalg.solve(M, b.reshape(-1)).reshape(N + 1, V)
+    np.testing.assert_allclose(np.asarray(w), w_dense, rtol=1e-8, atol=1e-10)
+
+
+def test_block_solution_matches_dense(problem):
+    prob, data = problem
+    qp_d = _dense_of_block(prob, data, 100.0, 100.0)
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    sd = solve_qp(qp_d, QPSettings())
+    sb = blockqp.solve_block_qp(qp_b, QPSettings())
+    assert bool(sb.converged)
+    N = prob.plan.horizon
+    Xd = np.asarray(sd.x[:9 * (N + 1)]).reshape(N + 1, 9)
+    Ud = np.asarray(sd.x[9 * (N + 1):9 * (N + 1) + 12 * N]).reshape(N, 12)
+    np.testing.assert_allclose(np.asarray(sb.X), Xd, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sb.U), Ud, atol=5e-4)
+
+
+def test_scp_block_backend_matches_dense(problem):
+    prob, _ = problem
+    sol_d = solve_scp(prob.model, prob.plan.schedule, prob.ocp,
+                      prob.X0, prob.U0, prob.scp)
+    scp_b = dataclasses.replace(prob.scp, qp_backend="block")
+    sol_b = solve_scp(prob.model, prob.plan.schedule, prob.ocp,
+                      prob.X0, prob.U0, scp_b)
+    assert bool(sol_b.success)
+    np.testing.assert_allclose(np.asarray(sol_b.X), np.asarray(sol_d.X),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sol_b.U), np.asarray(sol_d.U),
+                               atol=5e-4)
+
+
+def test_block_rejects_wrench6():
+    prob = presets.build_problem(presets.TALOS_PACE, dtype=jnp.float64)
+    data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                   prob.X0, prob.U0)
+    with pytest.raises(NotImplementedError):
+        blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                               prob.X0, prob.U0, data,
+                               jnp.asarray(100.0), jnp.asarray(100.0))
