@@ -35,6 +35,48 @@ def centroid_state_warm_start(robot: RobotSpec, schedule: ContactSchedule,
     return jnp.asarray(X, dtype)
 
 
+def ddp_warm_start(model, schedule: ContactSchedule, robot: RobotSpec,
+                   state_weights=None, control_weights=None,
+                   settings=None):
+    """Dynamically-consistent warm start via the jitted iLQR solver.
+
+    Plays the role of the reference's stage-1 whole-body DDP (tracks a
+    CoM-progress reference, run_motion.py:16-30) on the centroidal
+    dynamics: tracks the contact-centroid state path with control
+    regularization around the weight-distribution heuristic.  The result
+    satisfies the nonlinear dynamics exactly (it is a rollout), unlike the
+    kinematic centroid path.  Returns (X (N+1, nx), U (N, nu)).
+    """
+    import jax.numpy as jnp
+    from centroidal_mpc_tpu.models.centroidal import dynamics_step
+    from centroidal_mpc_tpu.solver.ddp import DdpSettings, solve_ilqr
+
+    dtype = schedule.logic.dtype
+    X_ref = centroid_state_warm_start(robot, schedule, dtype)
+    U_ref = weight_distribution_control_warm_start(robot, schedule, dtype)
+    wx = (jnp.asarray(state_weights, dtype) if state_weights is not None
+          else jnp.asarray([1e3] * 3 + [1e1] * 3 + [1e1] * 3, dtype))
+    wu = (jnp.asarray(control_weights, dtype) if control_weights is not None
+          else jnp.full((robot.n_u,), 1e-3, dtype))
+
+    def dynamics(x, u, k):
+        return dynamics_step(model, x, u, schedule.position[k],
+                             schedule.logic[k], schedule.orientation[k])
+
+    def stage_cost(x, u, k):
+        dx = x - X_ref[k]
+        du = u - U_ref[k]
+        return jnp.sum(wx * dx * dx) + jnp.sum(wu * du * du)
+
+    def terminal_cost(x):
+        dx = x - X_ref[-1]
+        return 10.0 * jnp.sum(wx * dx * dx)
+
+    sol = solve_ilqr(dynamics, stage_cost, terminal_cost, X_ref[0], U_ref,
+                     settings or DdpSettings())
+    return sol.X, sol.U
+
+
 def weight_distribution_control_warm_start(robot: RobotSpec,
                                            schedule: ContactSchedule,
                                            dtype=None) -> jnp.ndarray:
