@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from centroidal_mpc_tpu.config.presets import Problem, ProblemPreset, build_problem
+from centroidal_mpc_tpu.contact.swing import compute_swing_trajectories
+from centroidal_mpc_tpu.models import whole_body
 from centroidal_mpc_tpu.sim import metrics, monte_carlo
 from centroidal_mpc_tpu.solver.ddp import DdpSettings
 from centroidal_mpc_tpu.solver.scp import ScpSolution, solve_scp
@@ -73,6 +75,19 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
         store.save(art.SCP_INTERPOLATED_NOMINAL, **interp)
         store.save(art.CENTROIDAL_TO_WHOLEBODY,
                    X=np.asarray(nominal.X), U=np.asarray(nominal.U))
+
+    # ---- stage 3: whole-body tracking (joint-space deliverable)
+    if store is not None and preset.robot.contact_model == "point3" \
+            and preset.robot.n_contacts == 4:
+        swing = compute_swing_trajectories(prob.plan, preset.dt_ctrl)
+        wb_traj = whole_body.track_centroidal_solution(
+            prob.plan, swing, nominal.X, nominal.U, preset.dt_ctrl)
+        store.save(art.WHOLEBODY_INTERPOLATED,
+                   X=np.asarray(nominal.X), U=np.asarray(nominal.U),
+                   q=np.asarray(wb_traj.q), qdot=np.asarray(wb_traj.qdot),
+                   tau=np.asarray(wb_traj.tau_ff),
+                   gains=np.asarray([float(wb_traj.kp), float(wb_traj.kd)]))
+        whole_body.export_robot_dat(wb_traj, store.root)
 
     # ---- stage 2': stochastic SCP
     stoch_sol = None
