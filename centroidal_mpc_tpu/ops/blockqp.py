@@ -22,8 +22,10 @@ Per-iteration state is ~100x smaller than the dense path, which moves the
 throughput ceiling from HBM bandwidth to compute.  All loops are scans,
 everything vmaps over scenario batches.
 
-Currently supports POINT3 robots (solo12, bolt); WRENCH6 (talos CoP rows)
-still routes through the dense solver.
+Supports both POINT3 robots (solo12, bolt) and WRENCH6 humanoids (talos):
+per-contact controls have width nuc (3 or 6), the rotated pyramid acts on
+the force columns within each contact slice, and WRENCH6 adds the per-knot
+CoP box rows (reference src/constraints.py:111-145) as their own group.
 
 Reference semantics preserved: decision layout and row meaning follow
 src/optimizer.py / src/constraints.py; dynamics rows carry the +-1e-12
@@ -69,8 +71,13 @@ class BlockQP(struct.PyTreeNode):
     r_dyn: jnp.ndarray     # (N, nx)
     x_init: jnp.ndarray    # (nx,)
     x_final: jnp.ndarray   # (nx,)
-    G: jnp.ndarray         # (N, C, 5, 3) rotated, logic-gated pyramid
+    G: jnp.ndarray         # (N, C, 5, nuc) rotated, logic-gated pyramid
+                           # acting on each contact's control slice
     fric_ub: jnp.ndarray   # (N, C, 5)
+    cop_act: jnp.ndarray   # (N, C, 2) CoP row coefficients (wrench6: the
+                           # contact logic; point3: zeros -> inert rows)
+    cop_l: jnp.ndarray     # (N, C, 2)
+    cop_u: jnp.ndarray     # (N, C, 2)
     penum: jnp.ndarray     # (8, 3)
     inv_omega: jnp.ndarray # scalar 1/omega
     trust_ub: jnp.ndarray  # (N+1, 8)
@@ -88,11 +95,8 @@ def build_block_qp(model: CentroidalModel, schedule: ContactSchedule,
                    cfg: OcpConfig, X_prev: jnp.ndarray, U_prev: jnp.ndarray,
                    data: TrajectoryData, radius, weight) -> BlockQP:
     """Assemble the block QP (same math as solver.ocp.build_qp)."""
-    if model.contact_model != "point3":
-        raise NotImplementedError(
-            "block solver currently supports point3 robots; wrench6 (talos "
-            "CoP rows) uses the dense path")
     dtype = X_prev.dtype
+    nuc = model.n_u_per_contact
     rot_pyr = jnp.einsum("ri,kcji->kcrj", cfg.pyramid, schedule.orientation)
     rot_pyr = rot_pyr * schedule.logic[:, :, None, None]
     if not cfg.fill_unilateral:
@@ -102,6 +106,18 @@ def build_block_qp(model: CentroidalModel, schedule: ContactSchedule,
     if cfg.stochastic:
         from centroidal_mpc_tpu.solver.ocp import _chance_backoffs
         fric_ub = fric_ub - _chance_backoffs(model, cfg, data, rot_pyr)
+    if nuc == 3:
+        G = rot_pyr
+        cop_act = jnp.zeros((N, C, 2), dtype)
+        cop_l = jnp.zeros((N, C, 2), dtype)
+        cop_u = jnp.zeros((N, C, 2), dtype)
+    else:  # wrench6: forces sit at columns 2:5; CoP box on columns 0:2
+        G = jnp.zeros((N, C, 5, nuc), dtype).at[:, :, :, 2:5].set(rot_pyr)
+        cop_act = jnp.broadcast_to(schedule.logic[:, :, None], (N, C, 2))
+        lo = jnp.stack([-cfg.cop_range[0, 1], -cfg.cop_range[1, 1]])
+        hi = jnp.stack([cfg.cop_range[0, 0], cfg.cop_range[1, 0]])
+        cop_l = jnp.where(cop_act > 0, lo, 0.0)
+        cop_u = jnp.where(cop_act > 0, hi, 0.0)
     qx = (-(cfg.X_track @ cfg.Wx.T) if cfg.track_state
           else jnp.zeros_like(X_prev))
     penum = sign_enumeration_matrix(3, dtype)
@@ -112,18 +128,21 @@ def build_block_qp(model: CentroidalModel, schedule: ContactSchedule,
         qt=jnp.ones(N + 1, dtype),
         A=data.A, B=data.B, r_dyn=r_dyn,
         x_init=cfg.x_init, x_final=cfg.x_final,
-        G=rot_pyr, fric_ub=fric_ub, penum=penum,
+        G=G, fric_ub=fric_ub, cop_act=cop_act, cop_l=cop_l, cop_u=cop_u,
+        penum=penum,
         inv_omega=1.0 / jnp.asarray(weight, dtype),
         trust_ub=radius + X_prev[:, 6:9] @ penum.T,
     )
 
 
 class ZGroups(NamedTuple):
-    """Constraint-space vector, grouped by row family."""
+    """Constraint-space vector, grouped by row family (the reference row
+    ordering: initial, dynamics, final, cop, friction, trust, slack)."""
 
     init: jnp.ndarray    # (nx,)
     dyn: jnp.ndarray     # (N, nx)
     final: jnp.ndarray   # (nx,)
+    cop: jnp.ndarray     # (N, C, 2) -- zero rows for point3 robots
     fric: jnp.ndarray    # (N, C, 5)
     trust: jnp.ndarray   # (N+1, 8)
     slack: jnp.ndarray   # (N+1,)
@@ -134,11 +153,10 @@ def _zmap(f, *zs: ZGroups) -> ZGroups:
 
 
 def _zmax(z: ZGroups) -> jnp.ndarray:
-    return jnp.maximum(
-        jnp.maximum(jnp.maximum(jnp.abs(z.init).max(), jnp.abs(z.dyn).max()),
-                    jnp.maximum(jnp.abs(z.final).max(),
-                                jnp.abs(z.fric).max())),
-        jnp.maximum(jnp.abs(z.trust).max(), jnp.abs(z.slack).max()))
+    out = jnp.abs(z.init).max()
+    for part in z[1:]:
+        out = jnp.maximum(out, jnp.abs(part).max())
+    return out
 
 
 class WVars(NamedTuple):
@@ -170,7 +188,8 @@ class _Scaled(NamedTuple):
     Bh: jnp.ndarray       # (N, nx, nu)
     Ih: jnp.ndarray       # (N, nx) diagonal coefficient of x_{k+1}
     dN: jnp.ndarray       # (nx,) final-row diagonal
-    Gh: jnp.ndarray       # (N, C, 5, 3)
+    Gh: jnp.ndarray       # (N, C, 5, nuc)
+    coph: jnp.ndarray     # (N, C, 2) scaled CoP row coefficients
     Th: jnp.ndarray       # (N+1, 8, 3) trust rows on angular momentum
     wh: jnp.ndarray       # (N+1, 8) trust-row slack coefficient (positive)
     sh: jnp.ndarray       # (N+1,) slack-row coefficient (positive)
@@ -183,15 +202,16 @@ class _Scaled(NamedTuple):
 
 def _apply_A(s: _Scaled, w: WVars) -> ZGroups:
     x, u, t = w
-    C = s.Gh.shape[1]
+    C, nuc = s.Gh.shape[1], s.Gh.shape[3]
     n = s.Ah.shape[0]
-    u_f = u.reshape(n, C, 3) if s.Gh.shape[3] == 3 else u
+    u_c = u.reshape(n, C, nuc)
     return ZGroups(
         init=s.d0 * x[0],
         dyn=(jnp.einsum("kij,kj->ki", s.Ah, x[:-1])
              + jnp.einsum("kij,kj->ki", s.Bh, u) - s.Ih * x[1:]),
         final=s.dN * x[-1],
-        fric=jnp.einsum("kcrj,kcj->kcr", s.Gh, u_f),
+        cop=s.coph * u_c[:, :, :2],
+        fric=jnp.einsum("kcrj,kcj->kcr", s.Gh, u_c),
         trust=(jnp.einsum("kpj,kj->kp", s.Th, x[:, 6:9])
                - s.wh * t[:, None]),
         slack=-s.sh * t,
@@ -207,7 +227,10 @@ def _apply_AT(s: _Scaled, z: ZGroups) -> WVars:
     x = x.at[-1].add(s.dN * z.final)
     x = x.at[:, 6:9].add(jnp.einsum("kpj,kp->kj", s.Th, z.trust))
     u = jnp.einsum("kij,ki->kj", s.Bh, z.dyn)
-    u = u + jnp.einsum("kcrj,kcr->kcj", s.Gh, z.fric).reshape(n, -1)
+    nuc = s.Gh.shape[3]
+    u_c = (jnp.einsum("kcrj,kcr->kcj", s.Gh, z.fric)
+           .at[:, :, :2].add(s.coph * z.cop))
+    u = u + u_c.reshape(n, C * nuc)
     t = -(s.wh * z.trust).sum(-1) - s.sh * z.slack
     return WVars(x=x, u=u, t=t)
 
@@ -218,6 +241,7 @@ def _row_norms(s: _Scaled) -> ZGroups:
         dyn=jnp.maximum(jnp.abs(s.Ah).max(-1),
                         jnp.maximum(jnp.abs(s.Bh).max(-1), jnp.abs(s.Ih))),
         final=jnp.abs(s.dN),
+        cop=jnp.abs(s.coph),
         fric=jnp.abs(s.Gh).max(-1),
         trust=jnp.maximum(jnp.abs(s.Th).max(-1), s.wh),
         slack=s.sh,
@@ -233,8 +257,11 @@ def _col_norms(s: _Scaled) -> WVars:
     cx = cx.at[0].max(jnp.abs(s.d0))
     cx = cx.at[-1].max(jnp.abs(s.dN))
     cx = cx.at[:, 6:9].max(jnp.abs(s.Th).max(1))
+    C, nuc = s.Gh.shape[1], s.Gh.shape[3]
+    cu_c = jnp.abs(s.Gh).max(2)                               # (N, C, nuc)
+    cu_c = cu_c.at[:, :, :2].max(jnp.abs(s.coph))
     cu = jnp.abs(s.Pu).max(1)
-    cu = jnp.maximum(cu, jnp.abs(s.Gh).max(2).reshape(n, -1))
+    cu = jnp.maximum(cu, cu_c.reshape(n, C * nuc))
     cu = jnp.maximum(cu, jnp.abs(s.Bh).max(1))
     ct = jnp.maximum(s.wh.max(-1), s.sh)
     return WVars(x=cx, u=cu, t=ct)
@@ -252,20 +279,24 @@ def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
         Ah=qp.A, Bh=qp.B, Ih=jnp.ones((N, nx), dtype),
         dN=jnp.ones(nx, dtype),
         Gh=qp.G,
+        coph=qp.cop_act,
         Th=jnp.broadcast_to(qp.penum, (N + 1, 8, 3)),
         wh=jnp.broadcast_to(qp.inv_omega, (N + 1, 8)).astype(dtype),
         sh=jnp.ones(N + 1, dtype),
         l=ZGroups(init=qp.x_init, dyn=qp.r_dyn - eps, final=qp.x_final,
+                  cop=qp.cop_l,
                   fric=jnp.full_like(qp.fric_ub, -INF),
                   trust=jnp.full_like(qp.trust_ub, -INF),
                   slack=jnp.full(N + 1, -INF, dtype)),
         u=ZGroups(init=qp.x_init, dyn=qp.r_dyn + eps, final=qp.x_final,
+                  cop=qp.cop_u,
                   fric=qp.fric_ub, trust=qp.trust_ub,
                   slack=jnp.zeros(N + 1, dtype)),
         D=WVars(x=jnp.ones((N + 1, nx), dtype),
                 u=jnp.ones((N, nu), dtype), t=jnp.ones(N + 1, dtype)),
         E=ZGroups(init=jnp.ones(nx, dtype), dyn=jnp.ones((N, nx), dtype),
                   final=jnp.ones(nx, dtype),
+                  cop=jnp.ones_like(qp.cop_act),
                   fric=jnp.ones_like(qp.fric_ub),
                   trust=jnp.ones_like(qp.trust_ub),
                   slack=jnp.ones(N + 1, dtype)),
@@ -273,9 +304,9 @@ def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
     )
 
     def rescale(s: _Scaled, d: WVars, e: ZGroups, gamma) -> _Scaled:
-        C = s.Gh.shape[1]
+        C, nuc = s.Gh.shape[1], s.Gh.shape[3]
         n = s.Ah.shape[0]
-        du_f = d.u.reshape(n, C, 3)
+        du_f = d.u.reshape(n, C, nuc)
         return s._replace(
             Px=s.Px * d.x[:, :, None] * d.x[:, None, :] * gamma,
             Pu=s.Pu * d.u[:, :, None] * d.u[:, None, :] * gamma,
@@ -287,6 +318,7 @@ def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
             Ih=s.Ih * e.dyn * d.x[1:],
             dN=s.dN * e.final * d.x[-1],
             Gh=s.Gh * e.fric[..., None] * du_f[:, :, None, :],
+            coph=s.coph * e.cop * du_f[:, :, :2],
             Th=s.Th * e.trust[..., None] * d.x[:, None, 6:9],
             wh=s.wh * e.trust * d.t[:, None],
             sh=s.sh * e.slack * d.t,
@@ -324,8 +356,8 @@ def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
 def _rho_groups(settings: QPSettings, rho) -> ZGroups:
     """Per-group ADMM step sizes (equality rows get eq_rho_scale * rho)."""
     req = settings.eq_rho_scale * rho
-    return ZGroups(init=req, dyn=req, final=req, fric=rho, trust=rho,
-                   slack=rho)
+    return ZGroups(init=req, dyn=req, final=req, cop=rho, fric=rho,
+                   trust=rho, slack=rho)
 
 
 def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
@@ -361,11 +393,15 @@ def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
     diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(
         r.dyn * jnp.einsum("kij,kil->kjl", s.Bh, s.Bh))
     diag = diag.at[1:, jnp.arange(nx), jnp.arange(nx)].add(r.dyn * s.Ih**2)
-    # friction rows: per-contact 3x3 blocks on the force columns
-    gtg = r.fric * jnp.einsum("kcrj,kcrl->kcjl", s.Gh, s.Gh)   # (N, C, 3, 3)
-    ci = nx + jnp.arange(C)[:, None] * 3 + jnp.arange(3)[None, :]  # (C, 3)
-    rows = ci[None, :, :, None] + jnp.zeros((1, 1, 1, 3), jnp.int32)
-    cols = ci[None, :, None, :] + jnp.zeros((1, 1, 3, 1), jnp.int32)
+    # friction + CoP rows: per-contact nuc x nuc blocks on the contact's
+    # control columns
+    nuc = s.Gh.shape[3]
+    gtg = r.fric * jnp.einsum("kcrj,kcrl->kcjl", s.Gh, s.Gh)  # (N,C,nuc,nuc)
+    cop_sq = r.cop * s.coph**2                                 # (N, C, 2)
+    gtg = gtg.at[:, :, jnp.arange(2), jnp.arange(2)].add(cop_sq)
+    ci = nx + jnp.arange(C)[:, None] * nuc + jnp.arange(nuc)[None, :]
+    rows = ci[None, :, :, None] + jnp.zeros((1, 1, 1, nuc), jnp.int32)
+    cols = ci[None, :, None, :] + jnp.zeros((1, 1, nuc, 1), jnp.int32)
     diag = diag.at[jnp.arange(N)[:, None, None, None], rows, cols].add(gtg)
     # trust rows: on (ang, t)
     diag = diag.at[:, 6:9, 6:9].add(
@@ -517,17 +553,9 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
         def project(zr, yy, rr, lo, hi):
             return jnp.clip(zr + yy / rr, lo, hi)
 
-        z_new = ZGroups(
-            init=project(z_rel.init, y.init, rho_g.init, s.l.init, s.u.init),
-            dyn=project(z_rel.dyn, y.dyn, rho_g.dyn, s.l.dyn, s.u.dyn),
-            final=project(z_rel.final, y.final, rho_g.final, s.l.final,
-                          s.u.final),
-            fric=project(z_rel.fric, y.fric, rho_g.fric, s.l.fric, s.u.fric),
-            trust=project(z_rel.trust, y.trust, rho_g.trust, s.l.trust,
-                          s.u.trust),
-            slack=project(z_rel.slack, y.slack, rho_g.slack, s.l.slack,
-                          s.u.slack),
-        )
+        z_new = ZGroups(*(project(zr, yy, rr, lo, hi)
+                          for zr, yy, rr, lo, hi in
+                          zip(z_rel, y, rho_g, s.l, s.u)))
         y_new = ZGroups(*(yy + rr * (zr - zn) for yy, rr, zr, zn in zip(
             y, rho_g, z_rel, z_new)))
         return w_new, z_new, y_new, rho_g, fac

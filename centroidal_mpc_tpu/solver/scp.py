@@ -54,9 +54,9 @@ class ScpSettings:
     convergence_threshold: float = 1e-3
     max_iterations: int = 10
     update_linearization: bool = False  # reference-compat default
-    # 'dense' = ops.admm on the assembled matrices (reference path, any
-    # robot); 'block' = ops.blockqp structure-exploiting solver (the TPU
-    # throughput path, point3 robots).
+    # 'dense' = ops.admm on the assembled matrices (reference-layout
+    # path); 'block' = ops.blockqp structure-exploiting solver (the TPU
+    # throughput path; point3 and wrench6 robots).
     qp_backend: str = "dense"
     qp: QPSettings = QPSettings()
 

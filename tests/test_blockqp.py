@@ -137,11 +137,35 @@ def test_scp_block_backend_matches_dense(problem):
                                atol=5e-4)
 
 
-def test_block_rejects_wrench6():
-    prob = presets.build_problem(presets.TALOS_PACE, dtype=jnp.float64)
+def test_wrench6_block_matches_dense():
+    """Talos (wrench6 + CoP rows): block solution matches the dense path."""
+    import dataclasses as dc
+    preset = dc.replace(
+        presets.TALOS_PACE,
+        gait=dc.replace(presets.TALOS_PACE.gait, nb_steps=1))
+    prob = presets.build_problem(preset, dtype=jnp.float64)
     data = compute_trajectory_data(prob.model, prob.plan.schedule,
                                    prob.X0, prob.U0)
-    with pytest.raises(NotImplementedError):
-        blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
-                               prob.X0, prob.U0, data,
-                               jnp.asarray(100.0), jnp.asarray(100.0))
+    r, w = jnp.asarray(100.0), jnp.asarray(100.0)
+    qp_d = build_qp(prob.model, prob.plan.schedule, prob.ocp, prob.X0,
+                    prob.U0, data, r, w)
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data, r, w)
+    # this QP converges slowly at 1e-7 (verified feasible via HiGHS); the
+    # parity claim is that both paths walk the SAME iterates, so a looser
+    # tolerance with a tight solution comparison is the sharper test
+    qs = QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=20000)
+    sd = solve_qp(qp_d, qs)
+    sb = blockqp.solve_block_qp(qp_b, qs)
+    assert bool(sd.converged) and bool(sb.converged)
+    N, nu = prob.plan.horizon, prob.model.n_u
+    Xd = np.asarray(sd.x[:9 * (N + 1)]).reshape(N + 1, 9)
+    Ud = np.asarray(sd.x[9 * (N + 1):9 * (N + 1) + nu * N]).reshape(N, nu)
+    np.testing.assert_allclose(np.asarray(sb.X), Xd, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sb.U), Ud, atol=1e-6)
+    # CoP box respected at active knots
+    logic = np.asarray(prob.plan.schedule.logic)
+    cop = np.asarray(sb.U).reshape(N, 2, 6)[:, :, :2]
+    fhd = prob.preset.robot.foot_half_dims
+    assert (cop[logic > 0][:, 0] <= fhd[0] + 1e-2).all()
+    assert (cop[logic > 0][:, 0] >= -fhd[1] - 1e-2).all()
