@@ -54,6 +54,13 @@ class QPSettings:
     adaptive_rho: bool = True
     adaptive_rho_tol: float = 5.0
     eq_rho_scale: float = 1e3
+    # Block-solver factorization: 'cholesky' (blocked Cholesky with
+    # pre-inverted factors; backward-stable, the production default) or
+    # 'thomas' (Newton-Schulz Schur-complement inverses, matmul-only --
+    # faster lowering but the inverse error compounds through the knot
+    # recursion and breaks f32 convergence on TPU; CPU-validated,
+    # experimental).  Ignored by the dense solver.
+    factor_method: str = "cholesky"
 
 
 class QPSolution(struct.PyTreeNode):

@@ -461,6 +461,61 @@ def _block_tridiag_cholesky(diag, off) -> _TridiagFactor:
     return _TridiagFactor(Cinv=cinv, CinvT=cinv_t, Pfwd=p_fwd, Pbwd=p_bwd)
 
 
+class _ThomasFactor(NamedTuple):
+    """Block-Thomas factorization with explicit Schur-complement inverses.
+
+    T_k = S_k^{-1} with S_0 = D_0, S_k = D_k - O_{k-1} T_{k-1} O_{k-1}';
+    G_k = O_{k-1} T_{k-1} (forward coupling), H_k = T_k O_k' (backward).
+    The inverses come from the matmul-only Newton-Schulz iteration
+    (ops/linalg.spd_inverse) so the whole factorization lowers to batched
+    matmuls -- no per-step Cholesky/triangular ops, which dominate the TPU
+    profile of the blocked-Cholesky path.
+    """
+
+    T: jnp.ndarray    # (N+1, V, V)
+    G: jnp.ndarray    # (N, V, V)
+    H: jnp.ndarray    # (N, V, V)
+
+
+def _block_tridiag_thomas(diag, off) -> _ThomasFactor:
+    from centroidal_mpc_tpu.ops.linalg import spd_inverse
+
+    def step(t_prev, inputs):
+        d_k, o_prev = inputs
+        s_k = d_k - o_prev @ t_prev @ o_prev.T
+        t_k = spd_inverse(s_k)
+        return t_k, t_k
+
+    t0 = spd_inverse(diag[0])
+    _, ts = jax.lax.scan(step, t0, (diag[1:], off))
+    T = jnp.concatenate([t0[None], ts], axis=0)
+    G = jnp.einsum("kij,kjl->kil", off, T[:-1])
+    H = jnp.einsum("kij,klj->kil", T[:-1], off)
+    return _ThomasFactor(T=T, G=G, H=H)
+
+
+def _block_thomas_solve(f: _ThomasFactor, b):
+    """Solve M w = b with the Thomas factor: forward elimination, one
+    knot-parallel application of T, backward substitution."""
+
+    def fwd(y_prev, inputs):
+        b_k, g_k = inputs
+        y = b_k - g_k @ y_prev
+        return y, y
+
+    _, ys = jax.lax.scan(fwd, b[0], (b[1:], f.G))
+    y = jnp.concatenate([b[:1], ys], axis=0)
+    t = jnp.einsum("kij,kj->ki", f.T, y)
+
+    def bwd(w_next, inputs):
+        t_k, h_k = inputs
+        w = t_k - h_k @ w_next
+        return w, w
+
+    _, ws = jax.lax.scan(bwd, t[-1], (t[:-1], f.H), reverse=True)
+    return jnp.concatenate([ws, t[-1:]], axis=0)
+
+
 def _block_tridiag_solve(f: _TridiagFactor, b):
     """Solve M w = b; b, w shaped (N+1, V).  Two matvec-only scans plus
     two knot-parallel einsums."""
@@ -519,9 +574,15 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
     sigma = jnp.asarray(settings.sigma, dtype)
     n_segments = -(-settings.max_iter // settings.check_interval)
 
+    if settings.factor_method == "thomas":
+        factorize, backsolve = _block_tridiag_thomas, _block_thomas_solve
+    else:
+        factorize, backsolve = (_block_tridiag_cholesky,
+                                _block_tridiag_solve)
+
     def factor(rho):
         diag, off = _assemble_blocks(s, settings, rho, sigma)
-        return _block_tridiag_cholesky(diag, off)
+        return factorize(diag, off)
 
     rho0 = jnp.asarray(settings.rho, dtype)
     fac = factor(rho0)
@@ -543,8 +604,7 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
         rz_y = ZGroups(*(rr * zz - yy for zz, yy, rr in zip(z, y, rho_g)))
         rhs = _wmap(lambda ww, at, qq: sigma * ww + at - qq,
                     w, _apply_AT(s, rz_y), s.q)
-        w_t = _unpack(_block_tridiag_solve(fac, _pack(rhs, nx, nu)),
-                      nx, nu)
+        w_t = _unpack(backsolve(fac, _pack(rhs, nx, nu)), nx, nu)
         z_t = _apply_A(s, w_t)
         a = settings.alpha
         w_new = _wmap(lambda wt, ww: a * wt + (1 - a) * ww, w_t, w)
