@@ -27,6 +27,8 @@ def main():
                     choices=sorted(presets.PRESETS))
     ap.add_argument("--backend", default="block",
                     choices=["block", "dense"])
+    ap.add_argument("--latency-probes", type=int, default=30,
+                    help="single-solve latency samples (0 disables)")
     args = ap.parse_args()
 
     qp = QPSettings(eps_abs=5e-4, eps_rel=5e-4, max_iter=4000,
@@ -70,11 +72,33 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
     }))
+    # single-solve latency distribution (BASELINE.md p99 row)
+    lat = []
+    if args.latency_probes > 0:
+        solve1 = jax.jit(lambda c, x, u: batched_solve(
+            prob.model, prob.plan.schedule, c, x, u, prob.scp))
+        X1 = X0[:1]
+        c1 = tile_ocp_config(prob.ocp, X1[:, 0], X1[:, -1], X1)
+        out = solve1(c1, X1, U0[:1])
+        jax.block_until_ready(out)
+        for i in range(args.latency_probes):
+            X1i = X1 + 1e-4 * (i + 1)
+            c1i = tile_ocp_config(prob.ocp, X1i[:, 0], X1i[:, -1], X1i)
+            t0 = time.perf_counter()
+            out = solve1(c1i, X1i, U0[:1])
+            jax.block_until_ready(out)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+
     # diagnostics on stderr-ish second line (driver reads line 1)
     import sys
+    p50 = lat[len(lat) // 2] * 1e3 if lat else float("nan")
+    p99 = lat[min(int(len(lat) * 0.99), len(lat) - 1)] * 1e3 if lat \
+        else float("nan")
     print(f"# backend={args.backend} batch={batch} best={best*1e3:.1f}ms "
           f"success={n_success}/{batch} mean_qp_iters="
           f"{float(jnp.mean(sol.qp_iterations)):.0f} "
+          f"latency_p50={p50:.1f}ms latency_p99={p99:.1f}ms "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 
