@@ -37,7 +37,8 @@ def main():
                                  dtype=jnp.float32, qp=qp)
     import dataclasses
     prob = dataclasses.replace(
-        prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend))
+        prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend,
+                                      norm_method="power"))
 
     batch = args.batch
     key = jax.random.PRNGKey(0)

@@ -242,19 +242,29 @@ def propagate_covariance(model: CentroidalModel, A, B, C, K, sigma0=None):
 def compute_trajectory_data(model: CentroidalModel,
                             schedule: ContactSchedule,
                             X: jnp.ndarray, U: jnp.ndarray,
-                            lqr_iters: int = 2) -> TrajectoryData:
+                            lqr_iters: int = 2,
+                            with_covariance: bool = True) -> TrajectoryData:
     """Linearize the whole trajectory in one shot.
 
     Replaces the reference's sequential fori_loop of compute_everything
     (src/centroidal_model.py:257-291) with a vmap over knots plus a scan for
     the covariance recursion.  X: (N+1, nx); U: (N, nu).
+
+    with_covariance=False skips the (genuinely sequential) covariance scan
+    and returns zeros for Sigma -- the nominal OCP never reads it
+    (back-offs exist only in stochastic mode), and the scan is a
+    measurable fraction of the batched solve profile.
     """
     pos = schedule.positions_flat().reshape(schedule.horizon,
                                             schedule.n_contacts, 3)
     f, A, B, C = jax.vmap(linearize_step, in_axes=(None, 0, 0, 0, 0, 0))(
         model, X[:-1], U, pos, schedule.logic, schedule.orientation)
     K = jax.vmap(lqr_gain, in_axes=(None, 0, 0, None))(model, A, B, lqr_iters)
-    Sigma = propagate_covariance(model, A, B, C, K)
+    if with_covariance:
+        Sigma = propagate_covariance(model, A, B, C, K)
+    else:
+        n = schedule.horizon
+        Sigma = jnp.zeros((n + 1, N_X, N_X), A.dtype)
     return TrajectoryData(f=f, A=A, B=B, C=C, K=K, Sigma=Sigma)
 
 

@@ -58,6 +58,10 @@ class ScpSettings:
     # path); 'block' = ops.blockqp structure-exploiting solver (the TPU
     # throughput path; point3 and wrench6 robots).
     qp_backend: str = "dense"
+    # spectral norm for the trust-region test: 'svd' (exact, the
+    # reference's np.linalg.norm(A, 2)) or 'power' (10-step power
+    # iteration; batched SVD is slow on TPU and radius margins are wide)
+    norm_method: str = "svd"
     qp: QPSettings = QPSettings()
 
 
@@ -79,8 +83,14 @@ class ScpSolution(struct.PyTreeNode):
     rho: jnp.ndarray          # model-accuracy ratio of the last iteration
 
 
-def _matrix_norm2(M):
+def _matrix_norm2(M, method: str = "svd"):
     """Largest singular value (numpy's np.linalg.norm(A, 2) on matrices)."""
+    if method == "power":
+        v = jnp.ones(M.shape[1], M.dtype) / jnp.sqrt(M.shape[1])
+        for _ in range(10):
+            w = M.T @ (M @ v)
+            v = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+        return jnp.linalg.norm(M @ v)
     return jnp.linalg.svd(M, compute_uv=False)[0]
 
 
@@ -153,7 +163,8 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
                 & not_converged & c.qp_ok)
 
     def body(c: Carry):
-        data = compute_trajectory_data(model, schedule, c.X_lin, c.U_lin)
+        data = compute_trajectory_data(model, schedule, c.X_lin, c.U_lin,
+                                       with_covariance=cfg.stochastic)
         if settings.qp_backend == "block":
             qp = blockqp.build_block_qp(model, schedule, cfg, c.X_lin,
                                         c.U_lin, data, c.radius, c.weight)
@@ -177,7 +188,8 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
             sol_warm_x, sol_warm_y, sol_warm_t = sol.x, sol.y, c.warm_t
             sol_iters, sol_converged = sol.iterations, sol.converged
 
-        inside = _matrix_norm2(X_sol - c.X_cmp) < c.radius
+        inside = (_matrix_norm2(X_sol - c.X_cmp, settings.norm_method)
+                  < c.radius)
         rho = model_accuracy(model, schedule, X_sol, U_sol,
                              c.X_lin, c.U_lin, data)
         accurate = rho <= settings.rho1
