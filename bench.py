@@ -29,10 +29,11 @@ def main():
                     choices=["block", "dense"])
     ap.add_argument("--latency-probes", type=int, default=30,
                     help="single-solve latency samples (0 disables)")
+    ap.add_argument("--sweep", default="scan", choices=["scan", "assoc"])
     args = ap.parse_args()
 
     qp = QPSettings(eps_abs=5e-4, eps_rel=5e-4, max_iter=4000,
-                    adaptive_rho=False)
+                    adaptive_rho=False, sweep_method=args.sweep)
     prob = presets.build_problem(presets.PRESETS[args.preset],
                                  dtype=jnp.float32, qp=qp)
     import dataclasses

@@ -61,6 +61,10 @@ class QPSettings:
     # recursion and breaks f32 convergence on TPU; CPU-validated,
     # experimental).  Ignored by the dense solver.
     factor_method: str = "cholesky"
+    # Block-solver sweep lowering: 'scan' (sequential, throughput default)
+    # or 'assoc' (log-depth associative scan; fewer dependent steps for
+    # latency mode at ~V x more FLOPs).  Ignored by the dense solver.
+    sweep_method: str = "scan"
 
 
 class QPSolution(struct.PyTreeNode):

@@ -70,7 +70,8 @@ class BlockQP(struct.PyTreeNode):
     B: jnp.ndarray         # (N, nx, nu)
     r_dyn: jnp.ndarray     # (N, nx)
     x_init: jnp.ndarray    # (nx,)
-    x_final: jnp.ndarray   # (nx,)
+    final_l: jnp.ndarray   # (nx,) terminal bounds (equal for the
+    final_u: jnp.ndarray   # reference's hard terminal state; +-INF for MPC)
     G: jnp.ndarray         # (N, C, 5, nuc) rotated, logic-gated pyramid
                            # acting on each contact's control slice
     fric_ub: jnp.ndarray   # (N, C, 5)
@@ -127,7 +128,11 @@ def build_block_qp(model: CentroidalModel, schedule: ContactSchedule,
         Wx=cfg.Wx, Wu=cfg.Wu, qx=qx,
         qt=jnp.ones(N + 1, dtype),
         A=data.A, B=data.B, r_dyn=r_dyn,
-        x_init=cfg.x_init, x_final=cfg.x_final,
+        x_init=cfg.x_init,
+        final_l=(cfg.x_final if cfg.terminal_equality
+                 else jnp.full_like(cfg.x_final, -INF)),
+        final_u=(cfg.x_final if cfg.terminal_equality
+                 else jnp.full_like(cfg.x_final, INF)),
         G=G, fric_ub=fric_ub, cop_act=cop_act, cop_l=cop_l, cop_u=cop_u,
         penum=penum,
         inv_omega=1.0 / jnp.asarray(weight, dtype),
@@ -283,12 +288,12 @@ def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
         Th=jnp.broadcast_to(qp.penum, (N + 1, 8, 3)),
         wh=jnp.broadcast_to(qp.inv_omega, (N + 1, 8)).astype(dtype),
         sh=jnp.ones(N + 1, dtype),
-        l=ZGroups(init=qp.x_init, dyn=qp.r_dyn - eps, final=qp.x_final,
+        l=ZGroups(init=qp.x_init, dyn=qp.r_dyn - eps, final=qp.final_l,
                   cop=qp.cop_l,
                   fric=jnp.full_like(qp.fric_ub, -INF),
                   trust=jnp.full_like(qp.trust_ub, -INF),
                   slack=jnp.full(N + 1, -INF, dtype)),
-        u=ZGroups(init=qp.x_init, dyn=qp.r_dyn + eps, final=qp.x_final,
+        u=ZGroups(init=qp.x_init, dyn=qp.r_dyn + eps, final=qp.final_u,
                   cop=qp.cop_u,
                   fric=qp.fric_ub, trust=qp.trust_ub,
                   slack=jnp.zeros(N + 1, dtype)),
@@ -516,10 +521,39 @@ def _block_thomas_solve(f: _ThomasFactor, b):
     return jnp.concatenate([ws, t[-1:]], axis=0)
 
 
-def _block_tridiag_solve(f: _TridiagFactor, b):
-    """Solve M w = b; b, w shaped (N+1, V).  Two matvec-only scans plus
-    two knot-parallel einsums."""
+def _affine_sweep_assoc(P, c, reverse: bool):
+    """All-prefix solution of v_k = c_k - P_k v_{k +- 1} by associative
+    scan: elements (A_k, b_k) with combine (A2,b2)o(A1,b1) =
+    (A2 A1, A2 b1 + b2); the boundary element carries A = 0 so prefixes
+    forget the seed.  Depth log2(N) instead of N sequential steps -- the
+    latency-mode sweep (more FLOPs, far fewer dependent steps).
+    P: (N, V, V); c: (N+1, V) -> (N+1, V)."""
+    V = c.shape[-1]
+    zero = jnp.zeros((1, V, V), P.dtype)
+    A = (jnp.concatenate([-P, zero], axis=0) if reverse
+         else jnp.concatenate([zero, -P], axis=0))
+
+    def combine(x, y):
+        ax, bx = x
+        ay, by = y
+        return ay @ ax, jnp.einsum("...ij,...j->...i", ay, bx) + by
+
+    _, out = jax.lax.associative_scan(combine, (A, c), reverse=reverse,
+                                      axis=0)
+    return out
+
+
+def _block_tridiag_solve(f: _TridiagFactor, b, sweep_method: str = "scan"):
+    """Solve M w = b; b, w shaped (N+1, V).  Two matvec-only sweeps plus
+    two knot-parallel einsums; sweeps run as sequential scans
+    ('scan', throughput default) or log-depth associative scans
+    ('assoc', latency mode)."""
     c = jnp.einsum("kij,kj->ki", f.Cinv, b)            # C_k^{-1} b_k
+
+    if sweep_method == "assoc":
+        v = _affine_sweep_assoc(f.Pfwd, c, reverse=False)
+        d = jnp.einsum("kij,kj->ki", f.CinvT, v)       # C_k^{-T} v_k
+        return _affine_sweep_assoc(f.Pbwd, d, reverse=True)
 
     def fwd(v_prev, inputs):
         c_k, p_k = inputs
@@ -577,8 +611,9 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
     if settings.factor_method == "thomas":
         factorize, backsolve = _block_tridiag_thomas, _block_thomas_solve
     else:
-        factorize, backsolve = (_block_tridiag_cholesky,
-                                _block_tridiag_solve)
+        factorize = _block_tridiag_cholesky
+        backsolve = lambda fac, b: _block_tridiag_solve(
+            fac, b, settings.sweep_method)
 
     def factor(rho):
         diag, off = _assemble_blocks(s, settings, rho, sigma)

@@ -79,6 +79,10 @@ class OcpConfig(struct.PyTreeNode):
     # --- static switches (affect program structure) ---
     track_state: bool = struct.field(pytree_node=False, default=True)
     stochastic: bool = struct.field(pytree_node=False, default=False)
+    # False relaxes the final-state equality to free rows (receding-horizon
+    # MPC: the tracking cost provides the terminal pull; an exact terminal
+    # equality from a disturbed measured state is routinely infeasible)
+    terminal_equality: bool = struct.field(pytree_node=False, default=True)
     # Reference leaves the unilateral (5th) pyramid row unfilled
     # (src/constraints.py:180 loops range(4)); set True to also enforce
     # fz >= 0 explicitly (SURVEY.md section 2b "replicate-or-fix").
@@ -156,8 +160,9 @@ def build_qp(model: CentroidalModel, schedule: ContactSchedule,
     u = u.at[r0:r0 + nx].set(cfg.x_init)
     rf = off_row["final"]
     A = A.at[rf:rf + nx, N * nx:(N + 1) * nx].set(jnp.eye(nx, dtype=dtype))
-    l = l.at[rf:rf + nx].set(cfg.x_final)
-    u = u.at[rf:rf + nx].set(cfg.x_final)
+    if cfg.terminal_equality:
+        l = l.at[rf:rf + nx].set(cfg.x_final)
+        u = u.at[rf:rf + nx].set(cfg.x_final)
 
     # ---------------- linearized dynamics ----------------
     # A_k x_k + B_k u_k - x_{k+1} = A_k xbar_k + B_k ubar_k - f_k
