@@ -72,3 +72,21 @@ def test_graft_entry_dryrun():
     fn, args = ge.entry()
     out = jax.jit(fn).lower(*args)  # compiles
     ge.dryrun_multichip(8)
+
+
+def test_multihost_fleet_solver_on_virtual_mesh():
+    """multihost.fleet_solver drives the same shard_map path over the
+    virtual mesh; scaling_report returns per-device throughput."""
+    from centroidal_mpc_tpu.parallel import multihost
+    prob = _tiny_problem()
+    multihost.initialize()  # no-op single process
+    solver, mesh = multihost.fleet_solver(prob.model, prob.plan.schedule,
+                                          prob.scp)
+    assert mesh.devices.size == jax.device_count()
+    cfg, X0, U0 = _batch(prob, 16)
+    sharded = multihost.shard_global_batch(mesh, (cfg, X0, U0))
+    sol, stats = solver(*sharded)
+    assert int(stats["n_success"]) == 16
+    report = multihost.scaling_report(solver, sharded, batch=16, repeats=1)
+    assert report["devices"] == 8
+    assert report["solves_per_s"] > 0
