@@ -34,6 +34,7 @@ singularity at +-90 deg is far outside locomotion base motion.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -137,8 +138,12 @@ class RigidBodySpec:
         return self is other
 
 
+@functools.lru_cache(maxsize=None)
 def solo12_spec() -> RigidBodySpec:
     """Solo12: base + 4x(hip, upper, lower), point feet.
+
+    Memoized: RigidBodySpec equality is identity-based (jit static-arg
+    key), so callers must share one instance to share compiled programs.
 
     Geometry matches models/kinematics.py (LegGeometry) exactly so the
     closed-form FK/IK layer and this engine agree.  Inertial values

@@ -38,12 +38,16 @@ class PipelineResult:
     mc_nominal: Optional[monte_carlo.MonteCarloResult]
     mc_stochastic: Optional[monte_carlo.MonteCarloResult]
     eval_stats: Dict[str, np.ndarray]
+    wb_ddp: Optional[object] = None          # WholeBodySolution (joint-space)
+    mc_physics: Optional[object] = None      # PhysicsSimResult
 
 
 def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = None,
                  stochastic: bool = True, n_sims: int = 0,
                  dtype=jnp.float32, seed: int = 0,
-                 ddp_settings: Optional[DdpSettings] = None) -> PipelineResult:
+                 ddp_settings: Optional[DdpSettings] = None,
+                 whole_body_mode: str = "kinematic",
+                 physics_sims: int = 0) -> PipelineResult:
     """Run the full pipeline for one preset.
 
     Stage 1 (warm start): jitted centroidal iLQR tracking the contact
@@ -56,6 +60,14 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
       (run_motion.py:106-112).
     Stage 4 (Monte-Carlo): batched disturbance rollouts with LQR feedback
       for both solutions plus evaluation statistics (notebook cell 10).
+
+    whole_body_mode selects the stage-3 deliverable for solo12-class
+    robots: "kinematic" (closed-form IK layer, models/whole_body.py) or
+    "ddp" (joint-space iLQR over the contact-KKT rigid-body dynamics,
+    models/whole_body_ddp.py — the reference's TRACK_CENTROIDAL=True
+    Crocoddyl stage, run_motion.py:49-72).
+    physics_sims > 0 additionally runs the full-physics Monte-Carlo
+    (sim/physics.py, the PyBullet role) with that many episodes.
     """
     # ---- stage 1: warm start
     prob0 = build_problem(preset, dtype=dtype)
@@ -77,17 +89,35 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
                    X=np.asarray(nominal.X), U=np.asarray(nominal.U))
 
     # ---- stage 3: whole-body tracking (joint-space deliverable)
-    if store is not None and preset.robot.contact_model == "point3" \
-            and preset.robot.n_contacts == 4:
+    wb_traj = wb_sol = None
+    solo_like = (preset.robot.contact_model == "point3"
+                 and preset.robot.n_contacts == 4)
+    if solo_like and (store is not None or physics_sims > 0):
         swing = compute_swing_trajectories(prob.plan, preset.dt_ctrl)
         wb_traj = whole_body.track_centroidal_solution(
             prob.plan, swing, nominal.X, nominal.U, preset.dt_ctrl)
-        store.save(art.WHOLEBODY_INTERPOLATED,
-                   X=np.asarray(nominal.X), U=np.asarray(nominal.U),
-                   q=np.asarray(wb_traj.q), qdot=np.asarray(wb_traj.qdot),
-                   tau=np.asarray(wb_traj.tau_ff),
-                   gains=np.asarray([float(wb_traj.kp), float(wb_traj.kd)]))
-        whole_body.export_robot_dat(wb_traj, store.root)
+        if whole_body_mode == "ddp":
+            from centroidal_mpc_tpu.models import rigid_body as rb
+            from centroidal_mpc_tpu.models import whole_body_ddp as wbd
+            spec = rb.solo12_spec()
+            targets = wbd.build_targets(
+                prob.plan, swing, preset.dt_ctrl,
+                X_centroidal=nominal.X, U_centroidal=nominal.U, dtype=dtype)
+            wb_sol = wbd.solve_whole_body_ddp(spec, targets, preset.dt)
+            if store is not None:
+                interp_wb = wbd.interpolate_whole_body_solution(
+                    wb_sol, preset.dt, preset.dt_ctrl)
+                store.save(art.WHOLEBODY_INTERPOLATED,
+                           X=np.asarray(wb_sol.centroidal_states()),
+                           U=np.asarray(nominal.U), **interp_wb)
+        elif store is not None:
+            store.save(art.WHOLEBODY_INTERPOLATED,
+                       X=np.asarray(nominal.X), U=np.asarray(nominal.U),
+                       q=np.asarray(wb_traj.q), qdot=np.asarray(wb_traj.qdot),
+                       tau=np.asarray(wb_traj.tau_ff),
+                       gains=np.asarray([float(wb_traj.kp), float(wb_traj.kd)]))
+        if store is not None:
+            whole_body.export_robot_dat(wb_traj, store.root)
 
     # ---- stage 2': stochastic SCP
     stoch_sol = None
@@ -130,7 +160,36 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
         if store is not None:
             store.save("monte_carlo_stats", **stats)
 
+    # ---- stage 4b: full-physics Monte-Carlo (the PyBullet role)
+    mc_phys = None
+    if physics_sims > 0 and wb_traj is not None:
+        from centroidal_mpc_tpu.models import rigid_body as rb
+        from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
+        from centroidal_mpc_tpu.sim import physics as phys
+        spec = rb.solo12_spec()
+        data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                       nominal.X, nominal.U)
+        refs = phys.build_references(wb_traj, nominal.X, data.K,
+                                     prob.plan.schedule)
+        q0 = jnp.concatenate([refs.h_des[0, :3],
+                              jnp.zeros((3,), refs.h_des.dtype),
+                              refs.q_des[0]])
+        x0 = jnp.concatenate([q0, jnp.zeros((spec.nv,), refs.h_des.dtype)])
+        mc_phys = phys.run_physics_monte_carlo(
+            spec, refs, x0, jax.random.PRNGKey(seed + 1), physics_sims)
+        stats["physics_slippage"] = np.asarray(
+            phys.foot_slippage(mc_phys, refs))
+        stats["physics_cum_cost"] = np.asarray(
+            phys.tracking_cost(mc_phys, refs)[:, -1])
+        stats["physics_fell"] = np.asarray(mc_phys.fell)
+        if store is not None:
+            store.save("physics_monte_carlo_stats",
+                       slippage=stats["physics_slippage"],
+                       cum_cost=stats["physics_cum_cost"],
+                       fell=stats["physics_fell"])
+
     return PipelineResult(problem=prob, warm_X=np.asarray(X_warm),
                           warm_U=np.asarray(U_warm), nominal=nominal,
                           stochastic=stoch_sol, mc_nominal=mc_nom,
-                          mc_stochastic=mc_sto, eval_stats=stats)
+                          mc_stochastic=mc_sto, eval_stats=stats,
+                          wb_ddp=wb_sol, mc_physics=mc_phys)

@@ -39,6 +39,11 @@ class DdpSettings:
     # similar ladder; here all candidates roll out at once under vmap)
     n_alphas: int = 8
     tol_grad: float = 1e-9
+    # Quu solver: the matmul-only Newton-Schulz inverse (False) is the TPU
+    # fast path but stalls on ill-conditioned Quu (e.g. whole-body torque
+    # problems where tiny distal-link inertias make Quu anisotropic);
+    # True uses an exact LU solve.
+    exact_quu: bool = False
 
 
 class DdpSolution(struct.PyTreeNode):
@@ -59,6 +64,79 @@ def solve_ilqr(dynamics: Callable, stage_cost: Callable,
     dynamics(x, u, k) -> x_next; stage_cost(x, u, k) -> scalar;
     terminal_cost(x) -> scalar.  All jittable.
     """
+
+    def derivatives(X, U, ks):
+        fx = jax.vmap(jax.jacfwd(dynamics, argnums=0))(X[:-1], U, ks)
+        fu = jax.vmap(jax.jacfwd(dynamics, argnums=1))(X[:-1], U, ks)
+        lx = jax.vmap(jax.grad(stage_cost, argnums=0))(X[:-1], U, ks)
+        lu = jax.vmap(jax.grad(stage_cost, argnums=1))(X[:-1], U, ks)
+        lxx = jax.vmap(jax.hessian(stage_cost, argnums=0))(X[:-1], U, ks)
+        luu = jax.vmap(jax.hessian(stage_cost, argnums=1))(X[:-1], U, ks)
+        lux = jax.vmap(jax.jacfwd(jax.grad(stage_cost, argnums=1),
+                                  argnums=0))(X[:-1], U, ks)
+        vx_T = jax.grad(terminal_cost)(X[-1])
+        vxx_T = jax.hessian(terminal_cost)(X[-1])
+        return fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T
+
+    return _solve_core(dynamics, stage_cost, terminal_cost, derivatives,
+                       x0, U0, settings)
+
+
+def solve_ilqr_residual(dynamics: Callable, stage_residual: Callable,
+                        terminal_residual: Callable, x0: jnp.ndarray,
+                        U0: jnp.ndarray,
+                        settings: DdpSettings = DdpSettings()
+                        ) -> DdpSolution:
+    """Gauss-Newton iLQR over least-squares costs (Crocoddyl's residual
+    models, reference src/whole_body_control.py:46-152).
+
+    stage_residual(x, u, k) -> (nr,); terminal_residual(x) -> (nrT,);
+    cost = sum_k r_k @ r_k + r_T @ r_T.  The backward pass uses the
+    Gauss-Newton Hessian 2 J'J instead of exact second derivatives —
+    guaranteed PSD and a much smaller XLA graph than `jax.hessian`
+    through contact-KKT dynamics (one fused jacfwd over z = [x, u] per
+    knot yields dynamics AND residual jacobians in a single batch of
+    forward-mode tangents)."""
+    nx = x0.shape[0]
+
+    def stage_cost(x, u, k):
+        r = stage_residual(x, u, k)
+        return r @ r
+
+    def terminal_cost(x):
+        r = terminal_residual(x)
+        return r @ r
+
+    def derivatives(X, U, ks):
+        def knot(x, u, k):
+            def g(z):
+                return (dynamics(z[:nx], z[nx:], k),
+                        stage_residual(z[:nx], z[nx:], k))
+            z = jnp.concatenate([x, u])
+            jf, jr = jax.jacfwd(g)(z)
+            r = stage_residual(x, u, k)
+            lx = 2.0 * jr[:, :nx].T @ r
+            lu = 2.0 * jr[:, nx:].T @ r
+            lxx = 2.0 * jr[:, :nx].T @ jr[:, :nx]
+            luu = 2.0 * jr[:, nx:].T @ jr[:, nx:]
+            lux = 2.0 * jr[:, nx:].T @ jr[:, :nx]
+            return jf[:, :nx], jf[:, nx:], lx, lu, lxx, luu, lux
+
+        fx, fu, lx, lu, lxx, luu, lux = jax.vmap(knot)(X[:-1], U, ks)
+        r_t = terminal_residual(X[-1])
+        j_t = jax.jacfwd(terminal_residual)(X[-1])
+        vx_T = 2.0 * j_t.T @ r_t
+        vxx_T = 2.0 * j_t.T @ j_t
+        return fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T
+
+    return _solve_core(dynamics, stage_cost, terminal_cost, derivatives,
+                       x0, U0, settings)
+
+
+def _solve_core(dynamics: Callable, stage_cost: Callable,
+                terminal_cost: Callable, derivatives: Callable,
+                x0: jnp.ndarray, U0: jnp.ndarray,
+                settings: DdpSettings) -> DdpSolution:
     N, nu = U0.shape
     nx = x0.shape[0]
     dtype = x0.dtype
@@ -77,19 +155,6 @@ def solve_ilqr(dynamics: Callable, stage_cost: Callable,
         return (jax.vmap(stage_cost)(X[:-1], U, ks).sum()
                 + terminal_cost(X[-1]))
 
-    def derivatives(X, U):
-        fx = jax.vmap(jax.jacfwd(dynamics, argnums=0))(X[:-1], U, ks)
-        fu = jax.vmap(jax.jacfwd(dynamics, argnums=1))(X[:-1], U, ks)
-        lx = jax.vmap(jax.grad(stage_cost, argnums=0))(X[:-1], U, ks)
-        lu = jax.vmap(jax.grad(stage_cost, argnums=1))(X[:-1], U, ks)
-        lxx = jax.vmap(jax.hessian(stage_cost, argnums=0))(X[:-1], U, ks)
-        luu = jax.vmap(jax.hessian(stage_cost, argnums=1))(X[:-1], U, ks)
-        lux = jax.vmap(jax.jacfwd(jax.grad(stage_cost, argnums=1),
-                                  argnums=0))(X[:-1], U, ks)
-        vx_T = jax.grad(terminal_cost)(X[-1])
-        vxx_T = jax.hessian(terminal_cost)(X[-1])
-        return fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T
-
     def backward(derivs, reg):
         fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T = derivs
 
@@ -101,7 +166,8 @@ def solve_ilqr(dynamics: Callable, stage_cost: Callable,
             qxx = lxx_k + fx_k.T @ vxx @ fx_k
             quu = luu_k + fu_k.T @ vxx @ fu_k + reg * jnp.eye(nu, dtype=dtype)
             qux = lux_k + fu_k.T @ vxx @ fx_k
-            quu_inv = spd_inverse(quu)
+            quu_inv = (jnp.linalg.inv(quu) if settings.exact_quu
+                       else spd_inverse(quu))
             k_ff = -quu_inv @ qu
             k_fb = -quu_inv @ qux
             vx_new = qx + k_fb.T @ quu @ k_ff + k_fb.T @ qu + qux.T @ k_ff
@@ -145,7 +211,7 @@ def solve_ilqr(dynamics: Callable, stage_cost: Callable,
                  done=jnp.asarray(False))
 
     def body(c: Carry):
-        derivs = derivatives(c.X, c.U)
+        derivs = derivatives(c.X, c.U, ks)
         k_ff, k_fb, grad_norm = backward(derivs, c.reg)
         # all candidate step sizes roll out in parallel
         Xs, Us = jax.vmap(lambda a: forward(c.X, c.U, k_ff, k_fb, a))(alphas)

@@ -20,7 +20,7 @@ def poly3_traj(x0, x1, T: float, dt: float):
     x1 = np.atleast_1d(np.asarray(x1, dtype=np.float64))
     c = 3.0 * (x1 - x0) / T**2
     d = 2.0 * (x0 - x1) / T**3
-    n_samples = int(T / dt)
+    n_samples = int(round(T / dt))  # round: int() truncates 0.08/0.001 -> 79, leaving a hole at the last sample
     t = (np.arange(n_samples) * dt)[None, :]
     x = x0[:, None] + c[:, None] * t**2 + d[:, None] * t**3
     dx = 2.0 * c[:, None] * t + 3.0 * d[:, None] * t**2
@@ -40,7 +40,7 @@ def poly5_traj(x0, x1, T: float, dt: float):
     x1 = np.atleast_1d(np.asarray(x1, dtype=np.float64))
     d = 2.0 * (x1 - x0) / T**3
     e = (x0 - x1) / T**4
-    n_samples = int(T / dt)
+    n_samples = int(round(T / dt))  # round: int() truncates 0.08/0.001 -> 79, leaving a hole at the last sample
     t = (np.arange(n_samples) * dt)[None, :]
     x = x0[:, None] + d[:, None] * t**3 + e[:, None] * t**4
     dx = 3.0 * d[:, None] * t**2 + 4.0 * e[:, None] * t**3

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--f64", action="store_true",
                     help="float64 (CPU reference mode)")
+    ap.add_argument("--whole-body", choices=["kinematic", "ddp"],
+                    default="kinematic",
+                    help="stage-3 layer: closed-form IK or joint-space DDP "
+                         "over the rigid-body contact dynamics")
+    ap.add_argument("--physics-sims", type=int, default=0,
+                    help="full-physics Monte-Carlo episodes (0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +56,9 @@ def main():
     print(f"[pipeline] preset={preset.name} N={preset.horizon} "
           f"device={jax.devices()[0].device_kind} dtype={dtype.__name__}")
     result = run_pipeline(preset, store, stochastic=not args.nominal_only,
-                          n_sims=args.sims, dtype=dtype)
+                          n_sims=args.sims, dtype=dtype,
+                          whole_body_mode=args.whole_body,
+                          physics_sims=args.physics_sims)
 
     nom = result.nominal
     print(f"[nominal]   success={bool(nom.success)} "
@@ -63,8 +71,18 @@ def main():
               f"qp_iters={int(sto.qp_iterations)}")
     if result.eval_stats:
         nv = result.eval_stats.get("nominal_violations")
-        print(f"[monte-carlo] sims={args.sims} "
-              f"nominal cone violations/sim={np.mean(nv):.1f}")
+        if nv is not None:
+            print(f"[monte-carlo] sims={args.sims} "
+                  f"nominal cone violations/sim={np.mean(nv):.1f}")
+    if result.wb_ddp is not None:
+        print(f"[whole-body ddp] cost={float(result.wb_ddp.cost):.3f} "
+              f"iters={int(result.wb_ddp.iterations)}")
+    if result.mc_physics is not None:
+        slip = result.eval_stats["physics_slippage"]
+        fell = result.eval_stats["physics_fell"]
+        print(f"[physics mc] sims={args.physics_sims} "
+              f"fell={int(fell.sum())}/{len(fell)} "
+              f"slip mean={float(np.mean(slip)):.3f} m")
 
     # figures
     prob = result.problem

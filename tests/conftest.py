@@ -20,8 +20,22 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the jitted SCP/ADMM programs are large;
-# caching makes repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_centroidal")
+# caching makes repeated test runs fast.  The cache dir is keyed by the
+# host CPU feature set: XLA:CPU AOT artifacts are machine-specific, and
+# loading entries written by a previous session on a different host
+# crashes with SIGILL (observed when the environment migrated machines).
+import hashlib
+import platform
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((ln for ln in f if ln.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_host_key = hashlib.sha1(
+    (platform.machine() + _flags).encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_centroidal_{_host_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
