@@ -187,6 +187,14 @@ BOLT_PACE = ProblemPreset(
                     convergence_threshold=1e-3, max_iterations=20),
 )
 
+# Talos momentum weights are mass-normalized: its momenta run ~18x larger
+# than solo12's (45 kg vs 2.5 kg), and reusing the solo12 weights puts the
+# binding CoP-bound duals at ~1e5-1e6, which stalls the first-order QP
+# solver (dual residual plateau; measured 2026-08).  Dividing the linear
+# weights by m and the angular by m^2 keeps the cost gradients at solo12
+# scale: the QP converges in ~4k iterations and the solution tracks the
+# warm start to mm level.
+_TALOS_M = TALOS.mass
 TALOS_PACE = ProblemPreset(
     name="talos_pace",                       # conf_talos.py (completed)
     robot=TALOS, gait=gaits.TALOS_PACE, dt=0.03, dt_ctrl=0.001,
@@ -196,12 +204,18 @@ TALOS_PACE = ProblemPreset(
     cov_w_diag=(0.1**2, 0.1**2, 0.05**2) * 2,
     cov_eta_diag=(0.5**2, 0.5**2, 0.01**2, 0.5**2, 0.5**2, 0.01**2,
                   0.5**2, 0.5**2, 0.01**2),
-    state_cost_diag=(1e4, 1e4, 1e4, 1e3, 1e3, 1e3, 1e5, 1e5, 1e5),
+    state_cost_diag=(1e4, 1e4, 1e4) + (1e3 / _TALOS_M,) * 3
+                    + (1e5 / _TALOS_M**2,) * 3,
     control_cost_diag=(1e1, 1e1, 1e0, 1e0, 1e-1, 1e1) * 2,
+    # update_linearization: the wrench6 dynamics are bilinear in (cop, fz),
+    # so the reference's frozen linearization leaves a ~0.2 nonlinear gap
+    # when the CoP saturates; proper GuSTO re-linearization closes it in
+    # ~3 SCP iterations (measured 2026-08)
     scp=ScpSettings(trust_region_radius0=100.0, omega0=100.0,
                     omega_max=1e10, rho0=0.4, rho1=1.5, beta_succ=2.0,
                     beta_fail=0.5, gamma_fail=5.0,
-                    convergence_threshold=1e-3, max_iterations=10),
+                    convergence_threshold=1e-3, max_iterations=10,
+                    update_linearization=True),
 )
 
 # Benchmark preset: the BASELINE.md N=50 horizon.

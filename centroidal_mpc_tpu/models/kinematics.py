@@ -1,22 +1,24 @@
-"""Analytic leg kinematics for point-foot quadrupeds (solo12) in JAX.
+"""Analytic leg kinematics for point-foot robots (solo12, bolt) in JAX.
 
 The reference leans on pinocchio (C++) for all kinematics: foot placements
 (src/contact_plan.py:149-155), whole-body state extraction
 (src/whole_body_control.py:384-432) and contact Jacobians in the simulator
-(src/simulate_solo.py:146-160).  Solo12's 3-DoF legs (hip
+(src/simulate_solo.py:146-160).  3-DoF point-foot legs (hip
 abduction-adduction HAA about x, hip flexion HFE and knee KFE about y)
 admit closed-form FK and IK, so the whole kinematic layer is a handful of
 trigonometric expressions: jittable, vmappable over legs/knots/batches,
-differentiable (Jacobians via jacfwd).
+differentiable (Jacobians via jacfwd).  The same geometry class covers the
+solo12 quadruped and the bolt biped (reference conf_bolt.py) — a geometry
+is just the set of HAA origins, lateral-offset signs, and link lengths.
 
-Conventions: base frame centered at the base link, x forward, z up.  Legs
-ordered FR, FL, HR, HL (RobotSpec.foot_names).  Zero configuration =
-straight legs pointing down.
+Conventions: base frame centered at the base link, x forward, z up.  Leg
+order matches RobotSpec.foot_names (solo12: FR, FL, HR, HL; bolt: FL, FR).
+Zero configuration = straight legs pointing down.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,11 +27,13 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class LegGeometry:
-    """Solo12 leg geometry (meters), approximating the URDF parameters.
+    """Point-foot leg geometry (meters), approximating URDF parameters.
 
     hip_x/hip_y: HAA joint position in the base frame; y_off: lateral
     offset from the HAA axis to the leg's sagittal plane; l_upper/l_lower:
-    link lengths.
+    link lengths.  By default the hips form the solo12 quadruped layout
+    (FR, FL, HR, HL); `hips`/`sides` override it for other morphologies
+    (e.g. the 2-legged bolt).
     """
 
     hip_x: float = 0.1946
@@ -37,9 +41,17 @@ class LegGeometry:
     y_off: float = 0.05945
     l_upper: float = 0.160
     l_lower: float = 0.160
+    hips: Optional[Tuple[Tuple[float, float, float], ...]] = None
+    sides: Optional[Tuple[float, ...]] = None
+
+    @property
+    def n_legs(self) -> int:
+        return 4 if self.hips is None else len(self.hips)
 
     def hip_positions(self) -> np.ndarray:
-        """(4, 3) HAA origins in base frame, FR, FL, HR, HL order."""
+        """(n_legs, 3) HAA origins in base frame."""
+        if self.hips is not None:
+            return np.asarray(self.hips, np.float64)
         return np.array([
             [self.hip_x, -self.hip_y, 0.0],
             [self.hip_x, self.hip_y, 0.0],
@@ -48,11 +60,25 @@ class LegGeometry:
         ])
 
     def side_signs(self) -> np.ndarray:
-        """(4,) +1 left / -1 right lateral offset signs."""
+        """(n_legs,) +1 left / -1 right lateral offset signs."""
+        if self.sides is not None:
+            return np.asarray(self.sides, np.float64)
         return np.array([-1.0, 1.0, -1.0, 1.0])
 
 
 SOLO12_LEGS = LegGeometry()
+
+# Bolt point-foot biped (reference conf_bolt.py; FL, FR order from its
+# ee_frame_names ['FL_ANKLE', 'FR_ANKLE']).  The HAA origins put the legs
+# directly above the nominal stance of config/robots.py:BOLT; the 0.25 m
+# segments make the BOLT com_height (0.355 m, the reference q0 base
+# height) reachable with the whole-body mass distribution of
+# rigid_body.bolt_spec — a deliberate deviation from the published link
+# lengths in favor of framework-internal consistency.
+BOLT_LEGS = LegGeometry(
+    hip_x=0.0, hip_y=0.1235, y_off=0.0, l_upper=0.25, l_lower=0.25,
+    hips=((0.0, 0.1235, 0.0), (0.0, -0.1235, 0.0)),
+    sides=(1.0, -1.0))
 
 
 def leg_fk(q: jnp.ndarray, side: jnp.ndarray,
@@ -117,7 +143,7 @@ def leg_jacobian(q: jnp.ndarray, side: jnp.ndarray,
 
 def fk_all_legs(q_legs: jnp.ndarray,
                 geom: LegGeometry = SOLO12_LEGS) -> jnp.ndarray:
-    """(4, 3) base-frame foot positions from (4, 3) joint angles."""
+    """(n_legs, 3) base-frame foot positions from (n_legs, 3) joint angles."""
     hips = jnp.asarray(geom.hip_positions(), q_legs.dtype)
     sides = jnp.asarray(geom.side_signs(), q_legs.dtype)
     feet = jax.vmap(leg_fk, in_axes=(0, 0, None))(q_legs, sides, geom)
@@ -126,7 +152,7 @@ def fk_all_legs(q_legs: jnp.ndarray,
 
 def ik_all_legs(feet_base: jnp.ndarray,
                 geom: LegGeometry = SOLO12_LEGS) -> jnp.ndarray:
-    """(4, 3) joint angles from (4, 3) base-frame foot targets."""
+    """(n_legs, 3) joint angles from (n_legs, 3) base-frame foot targets."""
     hips = jnp.asarray(geom.hip_positions(), feet_base.dtype)
     sides = jnp.asarray(geom.side_signs(), feet_base.dtype)
     return jax.vmap(leg_ik, in_axes=(0, 0, None, None))(
@@ -135,7 +161,7 @@ def ik_all_legs(feet_base: jnp.ndarray,
 
 def feet_contact_torques(q_legs: jnp.ndarray, forces: jnp.ndarray,
                          geom: LegGeometry = SOLO12_LEGS) -> jnp.ndarray:
-    """(4, 3) joint torques realizing base-frame contact forces:
+    """(n_legs, 3) joint torques realizing base-frame contact forces:
     tau_leg = -J_leg' f_leg (reaction; reference applies -Jc' K dh as the
     centroidal correction, src/simulate_solo.py:295-296)."""
     sides = jnp.asarray(geom.side_signs(), q_legs.dtype)

@@ -96,6 +96,8 @@ class RigidBodySpec:
     inertia: np.ndarray        # (nb, 3, 3)
     foot_body: Tuple[int, ...]
     foot_pos: np.ndarray       # (n_feet, 3) in the foot body frame
+    contact_dim: int = 3       # 3 = point foot; 6 = flat foot (position +
+                               # orientation, Crocoddyl ContactModel3D/6D)
 
     def __post_init__(self):
         for arr in ("joint_pos", "joint_axis", "mass", "com", "inertia",
@@ -132,7 +134,8 @@ class RigidBodySpec:
         return float(self.mass.sum())
 
     def __hash__(self):
-        return hash((self.parent, self.foot_body, self.n_bodies))
+        return hash((self.parent, self.foot_body, self.n_bodies,
+                     self.contact_dim))
 
     def __eq__(self, other):
         return self is other
@@ -199,6 +202,150 @@ def solo12_spec() -> RigidBodySpec:
                          inertia=np.array(inertia),
                          foot_body=tuple(foot_body),
                          foot_pos=np.tile([0.0, 0.0, -g.l_lower], (4, 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def bolt_spec() -> RigidBodySpec:
+    """Bolt point-foot biped: base + 2x(HAA, HFE, KFE).
+
+    The reference ships Bolt only as a whole-body config (conf_bolt.py,
+    ee frames FL_ANKLE, FR_ANKLE); this spec completes the whole-body layer
+    for it.  Geometry matches models/kinematics.py BOLT_LEGS (0.25 m leg
+    segments above the config/robots.py:BOLT stance); the trunk-heavy
+    mass split keeps the whole-body CoM near the base so BOLT's
+    com_height (taken from the reference q0 base height) stays inside the
+    leg workspace.  Leg order FL, FR (reference conf_bolt.py
+    ee_frame_names).
+    """
+    from centroidal_mpc_tpu.models.kinematics import BOLT_LEGS as g
+    hips = g.hip_positions()
+    sides = g.side_signs()
+    leg_masses = (0.08, 0.08, 0.04)
+    base_mass = 1.3 - 2.0 * sum(leg_masses)
+    parent = [0]
+    joint_pos = [np.zeros(3)]
+    joint_axis = [np.zeros(3)]
+    mass = [base_mass]
+    com = [np.zeros(3)]
+    inertia = [np.diag([0.003, 0.004, 0.003])]
+
+    def rod_inertia(m, length):
+        i = m * length * length / 12.0
+        return np.diag([i, i, 2e-5])
+
+    foot_body = []
+    for leg in range(2):
+        base_idx = len(parent)
+        parent.append(0)
+        joint_pos.append(hips[leg])
+        joint_axis.append(np.array([1.0, 0.0, 0.0]))
+        mass.append(leg_masses[0])
+        com.append(np.array([0.0, sides[leg] * 0.02, 0.0]))
+        inertia.append(np.diag([3e-5, 5e-5, 5e-5]))
+        parent.append(base_idx)
+        joint_pos.append(np.array([0.0, sides[leg] * g.y_off, 0.0]))
+        joint_axis.append(np.array([0.0, 1.0, 0.0]))
+        mass.append(leg_masses[1])
+        com.append(np.array([0.0, 0.0, -g.l_upper / 2]))
+        inertia.append(rod_inertia(leg_masses[1], g.l_upper))
+        parent.append(base_idx + 1)
+        joint_pos.append(np.array([0.0, 0.0, -g.l_upper]))
+        joint_axis.append(np.array([0.0, 1.0, 0.0]))
+        mass.append(leg_masses[2])
+        com.append(np.array([0.0, 0.0, -g.l_lower / 2]))
+        inertia.append(rod_inertia(leg_masses[2], g.l_lower))
+        foot_body.append(base_idx + 2)
+
+    return RigidBodySpec(parent=tuple(parent), joint_pos=np.array(joint_pos),
+                         joint_axis=np.array(joint_axis),
+                         mass=np.array(mass), com=np.array(com),
+                         inertia=np.array(inertia),
+                         foot_body=tuple(foot_body),
+                         foot_pos=np.tile([0.0, 0.0, -g.l_lower], (2, 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def talos_spec() -> RigidBodySpec:
+    """Talos legs model: torso base + 2x6-joint legs, flat feet (6D contact).
+
+    The reference loads `example_robot_data` 'talos_legs' and relies on
+    Crocoddyl ContactModel6D for the flat feet (src/whole_body_control.py
+    TALOS branches, conf_talos.py ee frames right_sole_link,
+    left_sole_link).  Joint chain per leg (the talos_legs ordering): hip
+    yaw (z), hip roll (x), hip pitch (y), knee pitch (y), ankle pitch (y),
+    ankle roll (x); the sole sits 0.107 m below the ankle.  Link lengths
+    follow the published talos leg geometry (thigh 0.38 m, shin 0.325 m);
+    inertial values are plausible approximations summing to the
+    config/robots.py:TALOS 45 kg total — swap in measured URDF values for
+    deployment.  Leg order RF, LF (reference conf_talos.py).
+    """
+    hip_y, hip_drop = 0.085, 0.075          # hips sit below the pelvis base
+    l_thigh, l_shin, l_ankle = 0.38, 0.325, 0.107
+    parent = [0]
+    joint_pos = [np.zeros(3)]
+    joint_axis = [np.zeros(3)]
+    mass = [26.0]
+    com = [np.array([-0.02, 0.0, 0.25])]    # torso com above the pelvis
+    inertia = [np.diag([1.2, 1.0, 0.35])]
+
+    def rod_inertia(m, length, r=0.05):
+        i = m * (length * length / 12.0 + r * r / 4.0)
+        return np.diag([i, i, m * r * r / 2.0])
+
+    foot_body = []
+    for leg, side in ((0, -1.0), (1, 1.0)):   # RF then LF
+        base_idx = len(parent)
+        # hip yaw (z)
+        parent.append(0)
+        joint_pos.append(np.array([0.0, side * hip_y, -hip_drop]))
+        joint_axis.append(np.array([0.0, 0.0, 1.0]))
+        mass.append(1.2)
+        com.append(np.zeros(3))
+        inertia.append(np.diag([4e-3, 4e-3, 4e-3]))
+        # hip roll (x)
+        parent.append(base_idx)
+        joint_pos.append(np.zeros(3))
+        joint_axis.append(np.array([1.0, 0.0, 0.0]))
+        mass.append(1.5)
+        com.append(np.zeros(3))
+        inertia.append(np.diag([5e-3, 5e-3, 5e-3]))
+        # hip pitch (y) -> thigh
+        parent.append(base_idx + 1)
+        joint_pos.append(np.zeros(3))
+        joint_axis.append(np.array([0.0, 1.0, 0.0]))
+        mass.append(4.0)
+        com.append(np.array([0.0, 0.0, -l_thigh / 2]))
+        inertia.append(rod_inertia(4.0, l_thigh))
+        # knee pitch (y) -> shin
+        parent.append(base_idx + 2)
+        joint_pos.append(np.array([0.0, 0.0, -l_thigh]))
+        joint_axis.append(np.array([0.0, 1.0, 0.0]))
+        mass.append(2.2)
+        com.append(np.array([0.0, 0.0, -l_shin / 2]))
+        inertia.append(rod_inertia(2.2, l_shin))
+        # ankle pitch (y)
+        parent.append(base_idx + 3)
+        joint_pos.append(np.array([0.0, 0.0, -l_shin]))
+        joint_axis.append(np.array([0.0, 1.0, 0.0]))
+        mass.append(0.3)
+        com.append(np.zeros(3))
+        inertia.append(np.diag([1e-3, 1e-3, 1e-3]))
+        # ankle roll (x) -> foot
+        parent.append(base_idx + 4)
+        joint_pos.append(np.zeros(3))
+        joint_axis.append(np.array([1.0, 0.0, 0.0]))
+        mass.append(0.3)
+        com.append(np.array([0.02, 0.0, -l_ankle / 2]))
+        inertia.append(np.diag([1e-3, 2e-3, 2e-3]))
+        foot_body.append(base_idx + 5)
+
+    return RigidBodySpec(parent=tuple(parent), joint_pos=np.array(joint_pos),
+                         joint_axis=np.array(joint_axis),
+                         mass=np.array(mass), com=np.array(com),
+                         inertia=np.array(inertia),
+                         foot_body=tuple(foot_body),
+                         foot_pos=np.tile([0.0, 0.0, -l_ankle], (2, 1)),
+                         contact_dim=6)
 
 
 def _axis_rotation(axis: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
@@ -347,6 +494,31 @@ def contact_jacobian(spec: RigidBodySpec, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+def foot_orientations(spec: RigidBodySpec, q: jnp.ndarray) -> jnp.ndarray:
+    """(n_feet, 3, 3) world rotations of the foot bodies."""
+    R, _ = forward_kinematics(spec, q)
+    return jnp.stack([R[body] for body in spec.foot_body])
+
+
+def contact_frame_jacobian(spec: RigidBodySpec, q: jnp.ndarray) -> jnp.ndarray:
+    """(n_feet, contact_dim, nv) contact Jacobians.
+
+    Point feet (contact_dim=3): the point-velocity rows of
+    `contact_jacobian`.  Flat feet (contact_dim=6, Crocoddyl
+    ContactModel6D role): [point velocity (3); world angular velocity (3)]
+    per foot.
+    """
+    if spec.contact_dim == 3:
+        return contact_jacobian(spec, q)
+    J = body_jacobians(spec, q)
+    feet = foot_points(spec, q)
+    rows = []
+    for f, body in enumerate(spec.foot_body):
+        lin = J[body][3:6] - _skew(feet[f]) @ J[body][0:3]
+        rows.append(jnp.concatenate([lin, J[body][0:3]], axis=0))
+    return jnp.stack(rows)
+
+
 def centroidal_momentum(spec: RigidBodySpec, q: jnp.ndarray,
                         u: jnp.ndarray) -> jnp.ndarray:
     """(6,) centroidal momentum [linear(3), angular-about-com(3)].
@@ -395,28 +567,43 @@ def constrained_forward_dynamics(
     solved as one dense symmetric system with inactive contacts masked to
     identity rows (f_i = 0), keeping shapes static across gait phases.
     contact_mask: (n_feet,) 1/0; contact_ref: (n_feet, 3) world anchor
-    points for Baumgarte stabilization.  Returns (udot, forces (n_feet,3)).
+    points for Baumgarte stabilization.  Flat feet (contact_dim=6,
+    Crocoddyl ContactModel6D role) additionally constrain the foot angular
+    velocity, with an orientation Baumgarte term toward the flat (identity)
+    ground frame.  Returns (udot, forces (n_feet, contact_dim)).
     """
     dtype = q.dtype
-    nv, nf = spec.nv, spec.n_feet
+    nv, nf, cd = spec.nv, spec.n_feet, spec.contact_dim
     M = mass_matrix(spec, q)
     h = bias_forces(spec, q, u)
     tau_gen = jnp.concatenate([jnp.zeros((6,), dtype), tau])
 
-    Jc = contact_jacobian(spec, q).reshape(nf * 3, nv)
+    Jc = contact_frame_jacobian(spec, q).reshape(nf * cd, nv)
     qdot = _kinematic_qdot(spec, q, u)
     _, gamma = jax.jvp(
-        lambda qq: (contact_jacobian(spec, qq).reshape(nf * 3, nv) @ u),
+        lambda qq: (contact_frame_jacobian(spec, qq).reshape(nf * cd, nv)
+                    @ u),
         (q,), (qdot,))
     feet = foot_points(spec, q)
-    err = (feet - contact_ref).reshape(nf * 3)
+    pos_err = feet - contact_ref                        # (nf, 3)
+    if cd == 6:
+        # small-angle rotation error toward the flat ground frame:
+        # 0.5 * vee(R - R') is the first-order log of R about identity
+        Rf = foot_orientations(spec, q)
+        rot_err = 0.5 * jnp.stack(
+            [Rf[:, 2, 1] - Rf[:, 1, 2],
+             Rf[:, 0, 2] - Rf[:, 2, 0],
+             Rf[:, 1, 0] - Rf[:, 0, 1]], axis=1)        # (nf, 3)
+        err = jnp.concatenate([pos_err, rot_err], axis=1).reshape(nf * cd)
+    else:
+        err = pos_err.reshape(nf * cd)
     vel = Jc @ u
     rhs_c = -(gamma + settings.baumgarte_kd * vel
               + settings.baumgarte_kp * err)
 
-    mask = jnp.repeat(contact_mask.astype(dtype), 3)
+    mask = jnp.repeat(contact_mask.astype(dtype), cd)
     Jm = mask[:, None] * Jc
-    nc = nf * 3
+    nc = nf * cd
     kkt = jnp.zeros((nv + nc, nv + nc), dtype)
     kkt = kkt.at[:nv, :nv].set(M)
     kkt = kkt.at[:nv, nv:].set(-Jm.T)
@@ -427,7 +614,7 @@ def constrained_forward_dynamics(
         jnp.where(mask > 0.5, -settings.kkt_damping, 1.0))
     rhs = jnp.concatenate([tau_gen - h, mask * rhs_c])
     sol = jnp.linalg.solve(kkt, rhs)
-    return sol[:nv], sol[nv:].reshape(nf, 3)
+    return sol[:nv], sol[nv:].reshape(nf, cd)
 
 
 def integrate_step(spec: RigidBodySpec, q: jnp.ndarray, u: jnp.ndarray,
@@ -436,3 +623,16 @@ def integrate_step(spec: RigidBodySpec, q: jnp.ndarray, u: jnp.ndarray,
     u_next = u + dt * udot
     q_next = q + dt * _kinematic_qdot(spec, q, u_next)
     return q_next, u_next
+
+
+def robot_spec(name: str) -> RigidBodySpec:
+    """Whole-body spec for a RobotSpec name ('solo12' | 'bolt' | 'talos').
+
+    The memoized constructors guarantee one shared instance per robot
+    (RigidBodySpec equality is identity-based, the jit static-arg key).
+    """
+    try:
+        return {"solo12": solo12_spec, "bolt": bolt_spec,
+                "talos": talos_spec}[name]()
+    except KeyError:
+        raise KeyError(f"no whole-body RigidBodySpec for robot {name!r}")

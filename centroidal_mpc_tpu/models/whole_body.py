@@ -43,10 +43,11 @@ class WholeBodyTrajectory(struct.PyTreeNode):
     wholeBody_interpolated_traj payload, run_motion.py:68-72)."""
 
     base_pos: jnp.ndarray   # (T, 3)
-    q: jnp.ndarray          # (T, 12) joint positions (FR, FL, HR, HL x 3)
-    qdot: jnp.ndarray       # (T, 12)
-    tau_ff: jnp.ndarray     # (T, 12) feedforward torques
-    feet: jnp.ndarray       # (T, 4, 3) world foot targets
+    q: jnp.ndarray          # (T, 3 n_legs) joint positions (leg-major,
+                            # solo12: FR, FL, HR, HL x 3)
+    qdot: jnp.ndarray       # (T, 3 n_legs)
+    tau_ff: jnp.ndarray     # (T, 3 n_legs) feedforward torques
+    feet: jnp.ndarray       # (T, n_legs, 3) world foot targets
     kp: jnp.ndarray         # scalar PD gains
     kd: jnp.ndarray
 
@@ -59,6 +60,7 @@ def track_centroidal_solution(plan: ContactPlan, swing: SwingTrajectories,
                               ) -> WholeBodyTrajectory:
     """Map an SCP solution to whole-body joint trajectories at dt_ctrl."""
     n = plan.horizon
+    n_legs = geom.n_legs
     n_inner = int(round(plan.dt / dt_ctrl))
     t_total = n * n_inner
     dtype = X.dtype
@@ -72,8 +74,8 @@ def track_centroidal_solution(plan: ContactPlan, swing: SwingTrajectories,
     base = base.at[:, 2].add(base_height_offset)
 
     # world foot targets: stance -> placement, swing -> swing reference
-    logic_ctrl = jnp.repeat(plan.schedule.logic, n_inner, axis=0)   # (T, 4)
-    pos_ctrl = jnp.repeat(plan.schedule.position, n_inner, axis=0)  # (T,4,3)
+    logic_ctrl = jnp.repeat(plan.schedule.logic, n_inner, axis=0)   # (T, C)
+    pos_ctrl = jnp.repeat(plan.schedule.position, n_inner, axis=0)  # (T,C,3)
     swing_pos = jnp.asarray(swing.pos, dtype).transpose(2, 0, 1)[:t_total]
     feet_world = jnp.where(logic_ctrl[:, :, None] > 0, pos_ctrl, swing_pos)
 
@@ -88,15 +90,16 @@ def track_centroidal_solution(plan: ContactPlan, swing: SwingTrajectories,
     qd = qd.at[-1].set((q_legs[-1] - q_legs[-2]) / dt_ctrl)
 
     # feedforward torques from the planned contact forces (ZOH)
-    forces_ctrl = jnp.repeat(U.reshape(n, 4, 3), n_inner, axis=0)
+    forces_ctrl = jnp.repeat(U.reshape(n, n_legs, 3), n_inner, axis=0)
     forces_ctrl = forces_ctrl * logic_ctrl[:, :, None]
     tau = jax.vmap(kin.feet_contact_torques, in_axes=(0, 0, None))(
         q_legs, forces_ctrl, geom)
 
     kp, kd = PD_GAINS.get(plan.gait.gait_type, (4.0, 0.2))
+    nj = 3 * n_legs
     return WholeBodyTrajectory(
-        base_pos=base, q=q_legs.reshape(t_total, 12),
-        qdot=qd.reshape(t_total, 12), tau_ff=tau.reshape(t_total, 12),
+        base_pos=base, q=q_legs.reshape(t_total, nj),
+        qdot=qd.reshape(t_total, nj), tau_ff=tau.reshape(t_total, nj),
         feet=feet_world, kp=jnp.asarray(kp, dtype),
         kd=jnp.asarray(kd, dtype))
 

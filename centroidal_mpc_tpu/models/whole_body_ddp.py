@@ -152,8 +152,13 @@ def build_targets(plan: ContactPlan, swing: SwingTrajectories,
         com_target[n] = com_target[n - 1]
         mom_target = np.zeros((n + 1, 6))
     if U_centroidal is not None:
-        force_target = np.asarray(U_centroidal,
-                                  np.float64).reshape(n, n_c, 3)
+        u_arr = np.asarray(U_centroidal, np.float64)
+        nuc = u_arr.shape[1] // n_c
+        u_arr = u_arr.reshape(n, n_c, nuc)
+        # wrench6 controls are (cop_x, cop_y, fx, fy, fz, tau_z); the
+        # tracked force target is the linear force (reference
+        # src/centroidal_model.py:104-119)
+        force_target = u_arr[:, :, 2:5] if nuc == 6 else u_arr
     else:
         # weight distribution over active feet (the reference's own control
         # warm-start heuristic, centroidal_model.py:176-183) — tracking
@@ -187,18 +192,115 @@ def _com_matched_config(spec: rb.RigidBodySpec, com_target: jnp.ndarray,
 
     b = com_target
     q = assemble(b)
-    for _ in range(3):
+    for _ in range(6):
         b = b + (com_target - rb.com_position(spec, q))
         q = assemble(b)
     return q
 
 
+def leg_geometry_from_spec(spec: rb.RigidBodySpec
+                           ) -> Optional[kin.LegGeometry]:
+    """Recover a closed-form LegGeometry from a RigidBodySpec built in the
+    3-DoF point-leg pattern (HAA about x at the hip, HFE about y at the
+    lateral offset, KFE about y at the knee — solo12_spec / bolt_spec).
+    Returns None for any other morphology (callers then fall back to the
+    numeric IK path)."""
+    if spec.contact_dim != 3 or spec.n_joints != 3 * spec.n_feet:
+        return None
+    hips, sides = [], []
+    y_off = l_upper = l_lower = None
+    for f, fb in enumerate(spec.foot_body):
+        haa, hfe, kfe = fb - 2, fb - 1, fb
+        if (spec.parent[haa] != 0 or spec.parent[hfe] != haa
+                or spec.parent[kfe] != hfe):
+            return None
+        if not (np.allclose(spec.joint_axis[haa], [1, 0, 0])
+                and np.allclose(spec.joint_axis[hfe], [0, 1, 0])
+                and np.allclose(spec.joint_axis[kfe], [0, 1, 0])):
+            return None
+        hips.append(tuple(spec.joint_pos[haa]))
+        off = spec.joint_pos[hfe]
+        side = np.sign(off[1]) if abs(off[1]) > 1e-12 else np.sign(
+            spec.joint_pos[haa][1])
+        sides.append(float(side if side != 0 else 1.0))
+        y_off = abs(float(off[1]))
+        l_upper = -float(spec.joint_pos[kfe][2])
+        l_lower = -float(spec.foot_pos[f][2])
+    return kin.LegGeometry(y_off=y_off, l_upper=l_upper, l_lower=l_lower,
+                           hips=tuple(hips), sides=tuple(sides))
+
+
+def _numeric_config(spec: rb.RigidBodySpec, com_target: jnp.ndarray,
+                    foot_targets: jnp.ndarray, q0: jnp.ndarray,
+                    iters: int = 25) -> jnp.ndarray:
+    """Whole-body IK by damped least squares (any morphology; the generic
+    path for robots without closed-form legs, e.g. the talos 6-DoF legs).
+
+    Residual: foot positions -> targets, foot orientations -> flat
+    (contact_dim=6 only), CoM -> com_target, base orientation -> level.
+    """
+    dtype = com_target.dtype
+
+    def residual(q):
+        feet = rb.foot_points(spec, q)
+        parts = [(feet - foot_targets).reshape(-1),
+                 rb.com_position(spec, q) - com_target,
+                 0.3 * q[3:6]]
+        if spec.contact_dim == 6:
+            Rf = rb.foot_orientations(spec, q)
+            rot = 0.5 * jnp.stack(
+                [Rf[:, 2, 1] - Rf[:, 1, 2],
+                 Rf[:, 0, 2] - Rf[:, 2, 0],
+                 Rf[:, 1, 0] - Rf[:, 0, 1]], axis=1)
+            parts.insert(1, rot.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def step(q, _):
+        r = residual(q)
+        J = jax.jacfwd(residual)(q)
+        dq = jnp.linalg.solve(
+            J.T @ J + 1e-8 * jnp.eye(spec.nq, dtype=dtype), J.T @ r)
+        return q - dq, None
+
+    q, _ = jax.lax.scan(step, q0, None, length=iters)
+    return q
+
+
+def default_joint_guess(spec: rb.RigidBodySpec) -> jnp.ndarray:
+    """(nj,) numeric-IK seed: a small bend on every pitch (y-axis) joint,
+    alternating sign down each chain so knees flex rather than lock at the
+    straight-leg singularity."""
+    qj = np.zeros(spec.n_joints)
+    for i in range(1, spec.n_bodies):
+        if abs(spec.joint_axis[i][1]) > 0.5:
+            depth = 0
+            j = i
+            while spec.parent[j] != 0:
+                if abs(spec.joint_axis[j][1]) > 0.5:
+                    depth += 1
+                j = spec.parent[j]
+            qj[i - 1] = 0.3 if depth % 2 else -0.15
+    return jnp.asarray(qj)
+
+
 def standing_state(spec: rb.RigidBodySpec, targets: WholeBodyTargets,
-                   geom: kin.LegGeometry = kin.SOLO12_LEGS) -> jnp.ndarray:
-    """Initial whole-body state: joints from closed-form IK of the initial
-    foot placements, CoM at the initial CoM target, zero velocity."""
-    q = _com_matched_config(spec, targets.com_target[0],
-                            targets.foot_target[0], geom)
+                   geom: Optional[kin.LegGeometry] = None,
+                   q_guess: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Initial whole-body state: joints from IK of the initial foot
+    placements (closed-form for 3-DoF point legs, damped-least-squares
+    otherwise), CoM at the initial CoM target, zero velocity."""
+    geom = geom or leg_geometry_from_spec(spec)
+    if geom is not None:
+        q = _com_matched_config(spec, targets.com_target[0],
+                                targets.foot_target[0], geom)
+    else:
+        dtype = targets.com_target.dtype
+        if q_guess is None:
+            q_guess = jnp.concatenate([
+                targets.com_target[0], jnp.zeros((3,), dtype),
+                default_joint_guess(spec).astype(dtype)])
+        q = _numeric_config(spec, targets.com_target[0],
+                            targets.foot_target[0], q_guess)
     return jnp.concatenate([q, jnp.zeros((spec.nv,), q.dtype)])
 
 
@@ -213,10 +315,12 @@ def quasi_static_torques(spec: rb.RigidBodySpec, q: jnp.ndarray,
     tau = (h - Jc'f)[6:] (inverse dynamics at zero velocity/acceleration).
     """
     dtype = q.dtype
+    cd = spec.contact_dim
     h = rb.bias_forces(spec, q, jnp.zeros((spec.nv,), dtype))
-    jc = rb.contact_jacobian(spec, q).reshape(spec.n_feet * 3, spec.nv)
-    m3 = jnp.repeat(mask.astype(dtype), 3)
-    a = (jc.T[0:6] * m3[None, :])                  # (6, 3C) base rows
+    jc = rb.contact_frame_jacobian(spec, q).reshape(spec.n_feet * cd,
+                                                    spec.nv)
+    m3 = jnp.repeat(mask.astype(dtype), cd)
+    a = (jc.T[0:6] * m3[None, :])                  # (6, cd*C) base rows
     f = a.T @ jnp.linalg.solve(a @ a.T + 1e-10 * jnp.eye(6, dtype=dtype),
                                h[0:6])
     return (h - jc.T @ (m3 * f))[6:]
@@ -224,15 +328,23 @@ def quasi_static_torques(spec: rb.RigidBodySpec, q: jnp.ndarray,
 
 def gravity_torque_warm_start(spec: rb.RigidBodySpec,
                               targets: WholeBodyTargets,
-                              geom: kin.LegGeometry = kin.SOLO12_LEGS,
+                              geom: Optional[kin.LegGeometry] = None,
+                              q_guess: Optional[jnp.ndarray] = None,
                               ) -> jnp.ndarray:
     """(N, nj) torque warm start: per-knot CoM-matched IK posture + exact
     quasi-static inverse dynamics (the reference warm-starts FDDP from
     quasi-static postures, src/whole_body_control.py:168-201)."""
     mask = targets.contact_mask                          # (N, C)
     n = mask.shape[0]
-    qs = jax.vmap(lambda c, f: _com_matched_config(spec, c, f, geom))(
-        targets.com_target[:n], targets.foot_target)
+    geom = geom or leg_geometry_from_spec(spec)
+    if geom is not None:
+        qs = jax.vmap(lambda c, f: _com_matched_config(spec, c, f, geom))(
+            targets.com_target[:n], targets.foot_target)
+    else:
+        x0 = standing_state(spec, targets, q_guess=q_guess)
+        qs = jax.vmap(lambda c, f: _numeric_config(
+            spec, c, f, x0[:spec.nq], iters=10))(
+                targets.com_target[:n], targets.foot_target)
     return jax.vmap(lambda q, m: quasi_static_torques(spec, q, m))(qs, mask)
 
 
@@ -289,7 +401,9 @@ def _solve_whole_body(spec: rb.RigidBodySpec, targets: WholeBodyTargets,
         _, f = rb.constrained_forward_dynamics(
             spec, q, v, u, targets.contact_mask[k], targets.contact_ref[k],
             contact)
-        e_f = ((f - targets.force_target[k])
+        # flat feet (contact_dim=6) carry [force(3), torque(3)]; the
+        # tracked target is the linear contact force
+        e_f = ((f[:, :3] - targets.force_target[k])
                * targets.contact_mask[k][:, None]).reshape(-1)
         return sdt * jnp.concatenate([
             state_residual(q, v, k),
@@ -364,13 +478,13 @@ def interpolate_whole_body_solution(sol: WholeBodySolution, dt: float,
     q = np.asarray(sol.Q)
     v = np.asarray(sol.V)
     tau = np.asarray(sol.TAU)
-    n, n_c = sol.forces.shape[0], sol.forces.shape[1]
+    n, n_c, cd = sol.forces.shape
     return {
         "q": interpolate_linear(q, n_inner),
         "qdot": interpolate_linear(v, n_inner),
         "tau_ff": interpolate_zero_order(tau, n_inner),
         "forces": interpolate_zero_order(
-            np.asarray(sol.forces).reshape(n, n_c * 3), n_inner),
+            np.asarray(sol.forces).reshape(n, n_c * cd), n_inner),
         "gains": interpolate_zero_order(
             np.asarray(sol.K).reshape(sol.K.shape[0], -1), n_inner),
     }

@@ -90,16 +90,22 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
 
     # ---- stage 3: whole-body tracking (joint-space deliverable)
     wb_traj = wb_sol = None
-    solo_like = (preset.robot.contact_model == "point3"
-                 and preset.robot.n_contacts == 4)
-    if solo_like and (store is not None or physics_sims > 0):
+    point3 = preset.robot.contact_model == "point3"
+    if store is not None or physics_sims > 0:
+        from centroidal_mpc_tpu.models import rigid_body as rb
+        from centroidal_mpc_tpu.models import whole_body_ddp as wbd
+        spec = rb.robot_spec(preset.robot.name)
         swing = compute_swing_trajectories(prob.plan, preset.dt_ctrl)
-        wb_traj = whole_body.track_centroidal_solution(
-            prob.plan, swing, nominal.X, nominal.U, preset.dt_ctrl)
-        if whole_body_mode == "ddp":
-            from centroidal_mpc_tpu.models import rigid_body as rb
-            from centroidal_mpc_tpu.models import whole_body_ddp as wbd
-            spec = rb.solo12_spec()
+        if point3:
+            # kinematic deliverable (closed-form IK layer); also the
+            # reference-law plant input for the physics Monte-Carlo
+            geom = wbd.leg_geometry_from_spec(spec)
+            wb_traj = whole_body.track_centroidal_solution(
+                prob.plan, swing, nominal.X, nominal.U, preset.dt_ctrl,
+                geom=geom)
+        if whole_body_mode == "ddp" or not point3:
+            # wrench6 robots (talos) have no closed-form kinematic layer;
+            # the joint-space DDP is their stage-3 path
             targets = wbd.build_targets(
                 prob.plan, swing, preset.dt_ctrl,
                 X_centroidal=nominal.X, U_centroidal=nominal.U, dtype=dtype)
@@ -116,7 +122,7 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
                        q=np.asarray(wb_traj.q), qdot=np.asarray(wb_traj.qdot),
                        tau=np.asarray(wb_traj.tau_ff),
                        gains=np.asarray([float(wb_traj.kp), float(wb_traj.kd)]))
-        if store is not None:
+        if store is not None and wb_traj is not None:
             whole_body.export_robot_dat(wb_traj, store.root)
 
     # ---- stage 2': stochastic SCP
@@ -166,7 +172,7 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
         from centroidal_mpc_tpu.models import rigid_body as rb
         from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
         from centroidal_mpc_tpu.sim import physics as phys
-        spec = rb.solo12_spec()
+        spec = rb.robot_spec(preset.robot.name)
         data = compute_trajectory_data(prob.model, prob.plan.schedule,
                                        nominal.X, nominal.U)
         refs = phys.build_references(wb_traj, nominal.X, data.K,

@@ -26,6 +26,7 @@ CASES = [
     ("solo12_pace", _single_cycle(presets.SOLO12_PACE), "block"),
     ("solo12_bound", _single_cycle(presets.SOLO12_BOUND), "block"),
     ("bolt_pace", _single_cycle(presets.BOLT_PACE), "block"),
+    ("talos_pace", _single_cycle(presets.TALOS_PACE), "block"),
     ("solo12_trot_dense", _single_cycle(presets.SOLO12_TROT), "dense"),
 ]
 
