@@ -65,6 +65,16 @@ class QPSettings:
     # or 'assoc' (log-depth associative scan; fewer dependent steps for
     # latency mode at ~V x more FLOPs).  Ignored by the dense solver.
     sweep_method: str = "scan"
+    # Block-solver solution polish (the OSQP polish step, reference
+    # src/scp_solver.py:62, as a masked active-set ALM — see
+    # blockqp._polish).  One extra factorization + polish_iters sweeps
+    # after termination; the polished iterate is kept only if it improves
+    # max(prim, dual).  Lets the main loop run at loose eps while
+    # delivering tight-solution quality.  Ignored by the dense solver.
+    polish: bool = False
+    polish_rho: float = 1e5
+    polish_iters: int = 4
+    polish_active_tol: float = 1e-3
 
 
 class QPSolution(struct.PyTreeNode):

@@ -358,15 +358,28 @@ def _ruiz(qp: BlockQP, iters: int) -> _Scaled:
     return jax.lax.fori_loop(0, iters, body, s, unroll=True)
 
 
-def _rho_groups(settings: QPSettings, rho) -> ZGroups:
-    """Per-group ADMM step sizes (equality rows get eq_rho_scale * rho)."""
+def _rho_groups(settings: QPSettings, rho, s: _Scaled) -> ZGroups:
+    """Per-row ADMM step sizes, full group shapes (equality rows get
+    eq_rho_scale * rho).  Full arrays (not broadcast scalars) so the
+    polish path can reuse the same assembly with its masked penalties."""
+    N, nx = s.Ah.shape[0], s.Ah.shape[1]
+    C = s.Gh.shape[1]
+    dtype = s.Ah.dtype
+    rho = jnp.asarray(rho, dtype)
     req = settings.eq_rho_scale * rho
-    return ZGroups(init=req, dyn=req, final=req, cop=rho, fric=rho,
-                   trust=rho, slack=rho)
+    return ZGroups(
+        init=jnp.full((nx,), req, dtype),
+        dyn=jnp.full((N, nx), req, dtype),
+        final=jnp.full((nx,), req, dtype),
+        cop=jnp.full((N, C, 2), rho, dtype),
+        fric=jnp.full((N, C, 5), rho, dtype),
+        trust=jnp.full((N + 1, 8), rho, dtype),
+        slack=jnp.full((N + 1,), rho, dtype))
 
 
-def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
-    """Block-tridiagonal M = P + sigma I + A' diag(rho) A.
+def _assemble_blocks(s: _Scaled, r: ZGroups, sigma):
+    """Block-tridiagonal M = P + sigma I + A' diag(rho) A for per-row
+    step sizes r (ZGroups of full row-group shape).
 
     Returns (diag (N+1, V, V), off (N, V, V)) with per-knot variable
     ordering [x (nx), u (nu), t (1)]; the control slot of knot N is a
@@ -375,7 +388,6 @@ def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
     N, nx, nu = s.Ah.shape[0], s.Ah.shape[1], s.Bh.shape[2]
     V = nx + nu + 1
     dtype = s.Ah.dtype
-    r = _rho_groups(settings, rho)
     C = s.Gh.shape[1]
 
     diag = jnp.zeros((N + 1, V, V), dtype)
@@ -390,18 +402,18 @@ def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
     diag = diag.at[-1, jnp.arange(nx), jnp.arange(nx)].add(r.final * s.dN**2)
     # dynamics rows k: (A B) ' rho (A B) on knot k, I'rho I on knot k+1
     diag = diag.at[:-1, :nx, :nx].add(
-        r.dyn * jnp.einsum("kij,kil->kjl", s.Ah, s.Ah))
+        jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Ah, s.Ah))
     diag = diag.at[:-1, :nx, nx:nx + nu].add(
-        r.dyn * jnp.einsum("kij,kil->kjl", s.Ah, s.Bh))
+        jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Ah, s.Bh))
     diag = diag.at[:-1, nx:nx + nu, :nx].add(
-        r.dyn * jnp.einsum("kij,kil->klj", s.Ah, s.Bh))
+        jnp.einsum("ki,kij,kil->klj", r.dyn, s.Ah, s.Bh))
     diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(
-        r.dyn * jnp.einsum("kij,kil->kjl", s.Bh, s.Bh))
+        jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Bh, s.Bh))
     diag = diag.at[1:, jnp.arange(nx), jnp.arange(nx)].add(r.dyn * s.Ih**2)
     # friction + CoP rows: per-contact nuc x nuc blocks on the contact's
     # control columns
     nuc = s.Gh.shape[3]
-    gtg = r.fric * jnp.einsum("kcrj,kcrl->kcjl", s.Gh, s.Gh)  # (N,C,nuc,nuc)
+    gtg = jnp.einsum("kcr,kcrj,kcrl->kcjl", r.fric, s.Gh, s.Gh)
     cop_sq = r.cop * s.coph**2                                 # (N, C, 2)
     gtg = gtg.at[:, :, jnp.arange(2), jnp.arange(2)].add(cop_sq)
     ci = nx + jnp.arange(C)[:, None] * nuc + jnp.arange(nuc)[None, :]
@@ -410,17 +422,17 @@ def _assemble_blocks(s: _Scaled, settings: QPSettings, rho, sigma):
     diag = diag.at[jnp.arange(N)[:, None, None, None], rows, cols].add(gtg)
     # trust rows: on (ang, t)
     diag = diag.at[:, 6:9, 6:9].add(
-        r.trust * jnp.einsum("kpj,kpl->kjl", s.Th, s.Th))
-    cross = -r.trust * jnp.einsum("kpj,kp->kj", s.Th, s.wh)    # (N+1, 3)
+        jnp.einsum("kp,kpj,kpl->kjl", r.trust, s.Th, s.Th))
+    cross = -jnp.einsum("kp,kpj,kp->kj", r.trust, s.Th, s.wh)  # (N+1, 3)
     diag = diag.at[:, 6:9, V - 1].add(cross)
     diag = diag.at[:, V - 1, 6:9].add(cross)
     diag = diag.at[:, V - 1, V - 1].add(
-        r.trust * (s.wh**2).sum(-1) + r.slack * s.sh**2)
+        (r.trust * s.wh**2).sum(-1) + r.slack * s.sh**2)
 
     off = jnp.zeros((N, V, V), dtype)
     # rows of knot k+1 (x part) coupling to knot k's (x, u)
-    off = off.at[:, :nx, :nx].set(-r.dyn * s.Ih[:, :, None] * s.Ah)
-    off = off.at[:, :nx, nx:nx + nu].set(-r.dyn * s.Ih[:, :, None] * s.Bh)
+    off = off.at[:, :nx, :nx].set(-(r.dyn * s.Ih)[:, :, None] * s.Ah)
+    off = off.at[:, :nx, nx:nx + nu].set(-(r.dyn * s.Ih)[:, :, None] * s.Bh)
     return diag, off
 
 
@@ -587,6 +599,86 @@ def _unpack(W: jnp.ndarray, nx, nu) -> WVars:
     return WVars(x=W[:, :nx], u=W[:-1, nx:nx + nu], t=W[:, -1])
 
 
+def _residuals(s: _Scaled, settings: QPSettings, w: WVars, z: ZGroups,
+               y: ZGroups):
+    """Unscaled OSQP termination residuals and their relative scales."""
+    Aw = _apply_A(s, w)
+    Pw = WVars(x=jnp.einsum("kij,kj->ki", s.Px, w.x),
+               u=jnp.einsum("kij,kj->ki", s.Pu, w.u),
+               t=jnp.zeros_like(w.t))
+    ATy = _apply_AT(s, y)
+    prim = _zmax(_zmap(lambda a, b, e: (a - b) / e, Aw, z, s.E))
+    dual = _wmax(_wmap(lambda p, q, at, d: (p + q + at) / d,
+                       Pw, s.q, ATy, s.D)) / s.c
+    prim_scale = jnp.maximum(
+        _zmax(_zmap(lambda a, e: a / e, Aw, s.E)),
+        _zmax(_zmap(lambda a, e: a / e, z, s.E)))
+    dual_scale = jnp.maximum(
+        jnp.maximum(_wmax(_wmap(lambda a, d: a / d, Pw, s.D)),
+                    _wmax(_wmap(lambda a, d: a / d, ATy, s.D))),
+        _wmax(_wmap(lambda a, d: a / d, s.q, s.D))) / s.c
+    eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
+    eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
+    return prim, dual, eps_prim, eps_dual, prim_scale, dual_scale
+
+
+def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
+            w: WVars, y: ZGroups, nx: int, nu: int):
+    """OSQP-style solution polish as augmented-Lagrangian refinement.
+
+    The reference runs OSQP with polish=on (src/scp_solver.py:62): after
+    ADMM terminates, OSQP solves the KKT system of the *active* rows to
+    machine precision.  A dynamic reduced KKT does not fit XLA's static
+    shapes, so the same effect comes from a masked ALM: active rows keep a
+    large penalty (polish_rho) while inactive rows drop out (rho = 0),
+    one extra block-tridiagonal factorization + polish_iters multiplier
+    updates.  Multipliers warm-start from the ADMM duals, so each sweep
+    contracts the active-row residual by ~kappa/polish_rho.  The polished
+    iterate is returned alongside its residuals; the caller keeps
+    whichever of (ADMM, polished) is better, matching OSQP's
+    accept-if-improves semantics.  Fixed shapes and no conds: safe under
+    vmap/shard_map.
+    """
+    z = _apply_A(s, w)
+    atol = settings.polish_active_tol
+    ytol = 1e-12
+
+    def act(lo, hi, zz, yy, ee):
+        # finiteness is judged on the unscaled bounds (lo/ee, hi/ee):
+        # row scaling moves the 1e20 sentinel by O(1) factors
+        low = (((zz - lo) < atol) | (yy < -ytol)) & (lo / ee > -0.5 * INF)
+        high = (((hi - zz) < atol) | (yy > ytol)) & (hi / ee < 0.5 * INF)
+        return low | high, jnp.where(high, hi, lo)
+
+    masks, targets = [], []
+    for lo, hi, zz, yy, ee in zip(s.l, s.u, z, y, s.E):
+        m, b = act(lo, hi, zz, yy, ee)
+        masks.append(m)
+        targets.append(jnp.where(m, b, 0.0))
+    mask = ZGroups(*masks)
+    b_a = ZGroups(*targets)
+
+    beta = jnp.asarray(settings.polish_rho, z.dyn.dtype)
+    rho_p = ZGroups(*(m.astype(z.dyn.dtype) * beta for m in mask))
+    diag, off = _assemble_blocks(s, rho_p, sigma)
+    fac_p = factorize(diag, off)
+
+    y_p = ZGroups(*(jnp.where(m, yy, 0.0) for m, yy in zip(mask, y)))
+    w_p = w
+    for _ in range(settings.polish_iters):
+        rb_y = ZGroups(*(rr * bb - yy for rr, bb, yy in
+                         zip(rho_p, b_a, y_p)))
+        rhs = _wmap(lambda ww, at, qq: sigma * ww + at - qq,
+                    w_p, _apply_AT(s, rb_y), s.q)
+        w_p = _unpack(backsolve(fac_p, _pack(rhs, nx, nu)), nx, nu)
+        Aw = _apply_A(s, w_p)
+        y_p = ZGroups(*(yy + rr * (aa - bb) for yy, rr, aa, bb in
+                        zip(y_p, rho_p, Aw, b_a)))
+    z_p = ZGroups(*(jnp.clip(aa, lo, hi) for aa, lo, hi in
+                    zip(_apply_A(s, w_p), s.l, s.u)))
+    return w_p, z_p, y_p
+
+
 class BlockQPSolution(struct.PyTreeNode):
     X: jnp.ndarray
     U: jnp.ndarray
@@ -616,12 +708,13 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
             fac, b, settings.sweep_method)
 
     def factor(rho):
-        diag, off = _assemble_blocks(s, settings, rho, sigma)
+        rho_g = _rho_groups(settings, rho, s)
+        diag, off = _assemble_blocks(s, rho_g, sigma)
         return factorize(diag, off)
 
     rho0 = jnp.asarray(settings.rho, dtype)
     fac = factor(rho0)
-    rho_g = _rho_groups(settings, rho0)
+    rho_g = _rho_groups(settings, rho0, s)
 
     if w0 is None:
         w = WVars(x=jnp.zeros((N + 1, nx), dtype),
@@ -661,23 +754,8 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
             0, settings.check_interval, admm_iter, (w, z, y, rho_g, fac))
         it = it + settings.check_interval
 
-        Aw = _apply_A(s, w)
-        Pw = WVars(x=jnp.einsum("kij,kj->ki", s.Px, w.x),
-                   u=jnp.einsum("kij,kj->ki", s.Pu, w.u),
-                   t=jnp.zeros_like(w.t))
-        ATy = _apply_AT(s, y)
-        prim = _zmax(_zmap(lambda a, b, e: (a - b) / e, Aw, z, s.E))
-        dual = _wmax(_wmap(lambda p, q, at, d: (p + q + at) / d,
-                           Pw, s.q, ATy, s.D)) / s.c
-        prim_scale = jnp.maximum(
-            _zmax(_zmap(lambda a, e: a / e, Aw, s.E)),
-            _zmax(_zmap(lambda a, e: a / e, z, s.E)))
-        dual_scale = jnp.maximum(
-            jnp.maximum(_wmax(_wmap(lambda a, d: a / d, Pw, s.D)),
-                        _wmax(_wmap(lambda a, d: a / d, ATy, s.D))),
-            _wmax(_wmap(lambda a, d: a / d, s.q, s.D))) / s.c
-        eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
-        eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
+        (prim, dual, eps_prim, eps_dual,
+         prim_scale, dual_scale) = _residuals(s, settings, w, z, y)
         done = (prim < eps_prim) & (dual < eps_dual)
 
         if settings.adaptive_rho:
@@ -689,7 +767,7 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
                        | (ratio < 1.0 / settings.adaptive_rho_tol)) & ~done
 
             def refactor(_):
-                return (new_rho, _rho_groups(settings, new_rho),
+                return (new_rho, _rho_groups(settings, new_rho, s),
                         factor(new_rho))
 
             rho, rho_g, fac = jax.lax.cond(
@@ -706,6 +784,26 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
     w, z, y, _, _, _, it, prim, dual, done = jax.lax.while_loop(
         cond, segment, init)
+
+    if settings.polish:
+        w_p, z_p, y_p = _polish(s, settings, sigma, factorize, backsolve,
+                                w, y, nx, nu)
+        (prim_p, dual_p, eps_prim_p, eps_dual_p,
+         _, _) = _residuals(s, settings, w_p, z_p, y_p)
+        # OSQP acceptance: keep the polished iterate only if BOTH
+        # residuals improve.  A weakly-active row pinned by mistake (its
+        # true multiplier is ~0) shows up as a worse primal residual and
+        # rejects the polish rather than degrading the solution.
+        better = (prim_p < prim) & (dual_p < dual)
+        pick = lambda a, b: jnp.where(better, a, b)
+        w = _wmap(pick, w_p, w)
+        z = _zmap(pick, z_p, z)
+        y = _zmap(pick, y_p, y)
+        prim = jnp.where(better, prim_p, prim)
+        dual = jnp.where(better, dual_p, dual)
+        done = done | (better & (prim_p < eps_prim_p)
+                       & (dual_p < eps_dual_p))
+
     w_un = _wmap(lambda a, d: a * d, w, s.D)
     y_un = _zmap(lambda a, e: a * e / s.c, y, s.E)
     return BlockQPSolution(X=w_un.x, U=w_un.u, t=w_un.t, y=y_un,

@@ -89,8 +89,9 @@ def test_tridiag_factorization_solves_M(problem):
     s = blockqp._ruiz(qp_b, 5)
     settings = QPSettings()
     rho = jnp.asarray(0.1, jnp.float64)
-    diag, off = blockqp._assemble_blocks(s, settings, rho,
-                                         jnp.asarray(1e-6, jnp.float64))
+    diag, off = blockqp._assemble_blocks(
+        s, blockqp._rho_groups(settings, rho, s),
+        jnp.asarray(1e-6, jnp.float64))
     N, V = diag.shape[0] - 1, diag.shape[1]
     # dense M from blocks
     M = np.zeros((diag.shape[0] * V, diag.shape[0] * V))
@@ -169,3 +170,41 @@ def test_wrench6_block_matches_dense():
     fhd = prob.preset.robot.foot_half_dims
     assert (cop[logic > 0][:, 0] <= fhd[0] + 1e-2).all()
     assert (cop[logic > 0][:, 0] >= -fhd[1] - 1e-2).all()
+
+def test_polish_refines_loose_solve_to_tight_accuracy(problem):
+    """eps=1e-3 + polish reaches the tight-eps solution (the OSQP
+    polish-on semantics the reference runs with, src/scp_solver.py:62)."""
+    prob, data = problem
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    tight = dataclasses.replace(prob.scp.qp, adaptive_rho=False)
+    ref = blockqp.solve_block_qp(qp_b, tight)
+    loose = dataclasses.replace(tight, eps_abs=1e-3, eps_rel=1e-3,
+                                polish=True)
+    sol = blockqp.solve_block_qp(qp_b, loose)
+    assert bool(sol.converged)
+    assert int(sol.iterations) < int(ref.iterations)
+    # polished solution matches the tight reference well inside the
+    # 1e-4 parity budget
+    assert float(jnp.abs(sol.X - ref.X).max()) < 1e-4
+    assert float(jnp.abs(sol.U - ref.U).max()) < 1e-3
+    # and its KKT residuals are at least as good
+    assert float(sol.prim_res) <= float(ref.prim_res) + 1e-9
+
+
+def test_polish_never_degrades(problem):
+    """Accept-if-both-improve: with polish on, residuals are never worse
+    than the unpolished iterate (checked at several tolerances)."""
+    prob, data = problem
+    qp_b = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                  prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    for eps in (1e-2, 1e-4):
+        base = dataclasses.replace(prob.scp.qp, adaptive_rho=False,
+                                   eps_abs=eps, eps_rel=eps)
+        raw = blockqp.solve_block_qp(qp_b, base)
+        pol = blockqp.solve_block_qp(
+            qp_b, dataclasses.replace(base, polish=True))
+        assert float(pol.prim_res) <= float(raw.prim_res) + 1e-12
+        assert float(pol.dual_res) <= float(raw.dual_res) + 1e-12

@@ -7,6 +7,8 @@ contacts (ContactModel6D).  These tests cover the TPU-native equivalents:
 bolt_spec/talos_spec rigid-body models, the generic numeric-IK standing
 path, flat-foot contact-KKT dynamics, and full whole-body DDP solves.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,22 +139,67 @@ def test_bolt_whole_body_ddp(bolt_setup):
     assert com_err.max() < 0.05                 # height held through the gait
 
 
-def test_talos_whole_body_ddp(talos_setup):
-    spec, plan, targets = talos_setup
-    sol = wbd.solve_whole_body_ddp(
-        spec, targets, 0.03,
-        settings=DdpSettings(iterations=30, exact_quu=True))
-    assert sol.forces.shape == (plan.horizon, 2, 6)
-    mask = np.asarray(targets.contact_mask)[:, :, None]
-    err = np.abs(np.asarray(sol.feet[:-1]) - np.asarray(targets.foot_target))
-    assert (err * mask).max() < 0.02
-    com_err = np.abs(np.asarray(sol.com)[:, 2]
-                     - np.asarray(targets.com_target)[:, 2])
-    assert com_err.max() < 0.05
-    # supporting vertical force is weight-scale on double-support knots
-    ds = np.asarray(targets.contact_mask).sum(1) == 2
-    fz = np.asarray(sol.forces)[ds, :, 2].sum(1)
-    assert abs(fz.mean() - spec.total_mass * rb.GRAVITY) < 60.0
+_TALOS_DDP_SCRIPT = """
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from centroidal_mpc_tpu.config import gaits
+from centroidal_mpc_tpu.config.robots import TALOS
+from centroidal_mpc_tpu.contact.plan import build_contact_plan
+from centroidal_mpc_tpu.contact.swing import compute_swing_trajectories
+from centroidal_mpc_tpu.models import rigid_body as rb
+from centroidal_mpc_tpu.models import whole_body_ddp as wbd
+from centroidal_mpc_tpu.solver.ddp import DdpSettings
+
+gait = gaits.GaitSpec(gaits.PACE, step_length=0.0, step_height=0.05,
+                      step_knots=5, support_knots=2, nb_steps=1)
+plan = build_contact_plan(TALOS, gait, 0.03, dtype=jnp.float64)
+swing = compute_swing_trajectories(plan, 0.001)
+targets = wbd.build_targets(plan, swing, 0.001, dtype=jnp.float64)
+spec = rb.talos_spec()
+sol = wbd.solve_whole_body_ddp(
+    spec, targets, 0.03, settings=DdpSettings(iterations=30, exact_quu=True))
+mask = np.asarray(targets.contact_mask)[:, :, None]
+err = np.abs(np.asarray(sol.feet[:-1]) - np.asarray(targets.foot_target))
+ds = np.asarray(targets.contact_mask).sum(1) == 2
+fz = np.asarray(sol.forces)[ds, :, 2].sum(1)
+print(json.dumps({
+    "forces_shape": list(sol.forces.shape),
+    "horizon": plan.horizon,
+    "stance_err": float((err * mask).max()),
+    "com_z_err": float(np.abs(np.asarray(sol.com)[:, 2]
+                              - np.asarray(targets.com_target)[:, 2]).max()),
+    "fz_mean": float(fz.mean()),
+    "weight": spec.total_mass * rb.GRAVITY,
+}))
+"""
+
+
+def test_talos_whole_body_ddp():
+    """Full talos whole-body DDP solve, isolated in a fresh interpreter.
+
+    XLA:CPU repeatedly segfaults/aborts compiling this (large) program
+    inside the long-lived full-suite process (observed 2026-08: SIGSEGV /
+    SIGABRT in backend_compile_and_load at this exact test, while the same
+    compile succeeds standalone every time).  A subprocess gives the
+    compile a fresh LLVM state and keeps the one-command suite green.
+    """
+    import json
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-c", _TALOS_DDP_SCRIPT], capture_output=True,
+        text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["forces_shape"] == [res["horizon"], 2, 6]
+    assert res["stance_err"] < 0.02
+    assert res["com_z_err"] < 0.05
+    assert abs(res["fz_mean"] - res["weight"]) < 60.0
 
 
 def test_build_targets_wrench6_force_extraction(talos_setup):
