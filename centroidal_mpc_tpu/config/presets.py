@@ -100,11 +100,14 @@ def build_problem(preset: ProblemPreset, stochastic: bool = False,
         x_init=X_warm[0],
         x_final=X_warm[-1],
         X_track=X_warm,
-        Wx=jnp.asarray(np.diag(preset.state_cost_diag), dtype),
-        Wu=jnp.asarray(np.diag(preset.control_cost_diag), dtype),
+        # numpy leaves: the OcpConfig built here is closed over by jitted
+        # solvers; numpy constants embed with no device readback (see
+        # contact/plan.py on the axon d2h hazard)
+        Wx=np.asarray(np.diag(preset.state_cost_diag), dtype),
+        Wu=np.asarray(np.diag(preset.control_cost_diag), dtype),
         pyramid=friction_pyramid_matrix(preset.mu, dtype),
-        xi=jnp.asarray(preset.chance_quantile(), dtype),
-        cop_range=jnp.asarray([[fhd[0], fhd[1]], [fhd[2], fhd[3]]], dtype),
+        xi=np.asarray(preset.chance_quantile(), dtype),
+        cop_range=np.asarray([[fhd[0], fhd[1]], [fhd[2], fhd[3]]], dtype),
         track_state=True,
         stochastic=stochastic,
     )

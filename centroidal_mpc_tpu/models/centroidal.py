@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from centroidal_mpc_tpu.config.robots import POINT3, WRENCH6, RobotSpec
@@ -61,14 +62,18 @@ class CentroidalModel(struct.PyTreeNode):
     @classmethod
     def from_spec(cls, robot: RobotSpec, dt: float, Q, R, cov_w, cov_eta,
                   dtype=jnp.float32) -> "CentroidalModel":
+        # numpy leaves: the model is closed over by jitted solvers, and
+        # numpy constants embed with no device readback (see
+        # contact/plan.py build_contact_plan for the axon d2h hazard).
+        np_ = np.asarray
         return cls(
-            mass=jnp.asarray(robot.mass, dtype),
-            gravity=jnp.asarray(robot.gravity, dtype),
-            dt=jnp.asarray(dt, dtype),
-            Q=jnp.asarray(Q, dtype),
-            R=jnp.asarray(R, dtype),
-            cov_w=jnp.asarray(cov_w, dtype),
-            cov_eta=jnp.asarray(cov_eta, dtype),
+            mass=np_(robot.mass, dtype),
+            gravity=np_(robot.gravity, dtype),
+            dt=np_(dt, dtype),
+            Q=np_(Q, dtype),
+            R=np_(R, dtype),
+            cov_w=np_(cov_w, dtype),
+            cov_eta=np_(cov_eta, dtype),
             contact_model=robot.contact_model,
             n_contacts=robot.n_contacts,
         )

@@ -153,6 +153,17 @@ class ZGroups(NamedTuple):
     slack: jnp.ndarray   # (N+1,)
 
 
+def zero_zgroups(N: int, C: int, dtype) -> ZGroups:
+    """Zero constraint-space vector (e.g. a cold dual warm start)."""
+    return ZGroups(init=jnp.zeros((N_X,), dtype),
+                   dyn=jnp.zeros((N, N_X), dtype),
+                   final=jnp.zeros((N_X,), dtype),
+                   cop=jnp.zeros((N, C, 2), dtype),
+                   fric=jnp.zeros((N, C, 5), dtype),
+                   trust=jnp.zeros((N + 1, 8), dtype),
+                   slack=jnp.zeros((N + 1,), dtype))
+
+
 def _zmap(f, *zs: ZGroups) -> ZGroups:
     return ZGroups(*(f(*parts) for parts in zip(*zs)))
 

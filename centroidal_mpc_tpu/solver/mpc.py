@@ -52,7 +52,10 @@ class MpcController:
                    U0_full: jnp.ndarray) -> MpcState:
         """Warm start from the head of a full-plan trajectory."""
         n_w = self.window
-        return MpcState(X_warm=X0_full[:n_w + 1], U_warm=U0_full[:n_w],
+        # jnp conversion: warm starts are host-side numpy by design (see
+        # contact/plan.py), but MpcState is carried through .at[] updates
+        return MpcState(X_warm=jnp.asarray(X0_full[:n_w + 1]),
+                        U_warm=jnp.asarray(U0_full[:n_w]),
                         tick=jnp.zeros((), jnp.int32))
 
     @property

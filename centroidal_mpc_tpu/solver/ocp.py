@@ -49,7 +49,9 @@ def friction_pyramid_matrix(mu: float, dtype=jnp.float64) -> jnp.ndarray:
     """Inner linear approximation of the friction cone, 5 rows:
     4 tangential + unilateral (reference src/utils.py:9-16)."""
     mu_lin = mu / np.sqrt(2.0)
-    return jnp.asarray(
+    # numpy return: becomes a jit closure constant (no device readback --
+    # see contact/plan.py on the axon d2h hazard)
+    return np.asarray(
         [[1.0, 0.0, -mu_lin],
          [-1.0, 0.0, -mu_lin],
          [0.0, 1.0, -mu_lin],
@@ -62,7 +64,7 @@ def sign_enumeration_matrix(n: int, dtype=jnp.float64) -> jnp.ndarray:
     column j = (-1)^(row // 2^j) (reference src/optimizer.py:111-112)."""
     rows = np.arange(2**n)[:, None]
     cols = 2 ** np.arange(n)[None, :]
-    return jnp.asarray((-1.0) ** (rows // cols), dtype=dtype)
+    return np.asarray((-1.0) ** (rows // cols), dtype=dtype)
 
 
 class OcpConfig(struct.PyTreeNode):

@@ -146,10 +146,16 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         qp_ok=jnp.asarray(True),
         rho=jnp.zeros((), dtype),
         conv=jnp.zeros((), dtype),
-        # block backend warm-starts only (X, U); dense uses the full layout
-        warm_x=jnp.zeros(N_X * (N + 1) + model.n_u * N
-                         if settings.qp_backend == "block" else n, dtype),
-        warm_y=jnp.zeros(m, dtype),
+        # Block backend: primal warm start from the linearization
+        # trajectory (the QP solution stays near it once the SCP is
+        # tracking), duals threaded as the blockqp ZGroups pytree across
+        # SCP iterations -- OSQP's warm_start=True semantics
+        # (src/scp_solver.py:62).  Dense backend keeps the flat layout
+        # and starts from zero.
+        warm_x=jnp.concatenate([X0.reshape(-1), U0.reshape(-1)])
+        if settings.qp_backend == "block" else jnp.zeros(n, dtype),
+        warm_y=blockqp.zero_zgroups(N, schedule.logic.shape[1], dtype)
+        if settings.qp_backend == "block" else jnp.zeros(m, dtype),
         warm_t=jnp.zeros(N + 1, dtype),
     )
 
@@ -172,11 +178,12 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
                 x=c.warm_x[:N_X * (N + 1)].reshape(N + 1, N_X),
                 u=c.warm_x[N_X * (N + 1):].reshape(N, model.n_u),
                 t=c.warm_t)
-            bsol = blockqp.solve_block_qp(qp, settings.qp, w0=w0)
+            bsol = blockqp.solve_block_qp(qp, settings.qp, w0=w0,
+                                          y0=c.warm_y)
             X_sol, U_sol = bsol.X, bsol.U
             sol_warm_x = jnp.concatenate([X_sol.reshape(-1),
                                           U_sol.reshape(-1)])
-            sol_warm_y, sol_warm_t = c.warm_y, bsol.t
+            sol_warm_y, sol_warm_t = bsol.y, bsol.t
             sol_iters, sol_converged = bsol.iterations, bsol.converged
         else:
             qp = build_qp(model, schedule, cfg, c.X_lin, c.U_lin, data,

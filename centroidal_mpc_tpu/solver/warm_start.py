@@ -21,6 +21,9 @@ def centroid_state_warm_start(robot: RobotSpec, schedule: ContactSchedule,
     """(N+1, nx) state warm start: CoM above the active-contact centroid,
     zero momenta (reference's commented DYNAMICS_FIRST path,
     src/centroidal_model.py:164-171; centroid per src/utils.py:18-24)."""
+    # Host-side numpy throughout: the schedule holds numpy leaves (see
+    # contact/plan.py) and the warm start becomes X_track / x_init jit
+    # constants, so nothing here may touch the device.
     logic = np.asarray(schedule.logic)
     pos = np.asarray(schedule.position)
     dtype = dtype or schedule.logic.dtype
@@ -32,7 +35,7 @@ def centroid_state_warm_start(robot: RobotSpec, schedule: ContactSchedule,
     X[:n, 1] = centroid[:, 1]
     X[:n, 2] = robot.com_height + centroid[:, 2]
     X[n] = X[n - 1]
-    return jnp.asarray(X, dtype)
+    return np.asarray(X, dtype)
 
 
 def ddp_warm_start(model, schedule: ContactSchedule, robot: RobotSpec,
@@ -47,6 +50,7 @@ def ddp_warm_start(model, schedule: ContactSchedule, robot: RobotSpec,
     satisfies the nonlinear dynamics exactly (it is a rollout), unlike the
     kinematic centroid path.  Returns (X (N+1, nx), U (N, nu)).
     """
+    import jax
     import jax.numpy as jnp
     from centroidal_mpc_tpu.models.centroidal import dynamics_step
     from centroidal_mpc_tpu.solver.ddp import DdpSettings, solve_ilqr
@@ -54,27 +58,44 @@ def ddp_warm_start(model, schedule: ContactSchedule, robot: RobotSpec,
     dtype = schedule.logic.dtype
     X_ref = centroid_state_warm_start(robot, schedule, dtype)
     U_ref = weight_distribution_control_warm_start(robot, schedule, dtype)
-    wx = (jnp.asarray(state_weights, dtype) if state_weights is not None
-          else jnp.asarray([1e3] * 3 + [1e1] * 3 + [1e1] * 3, dtype))
-    wu = (jnp.asarray(control_weights, dtype) if control_weights is not None
-          else jnp.full((robot.n_u,), 1e-3, dtype))
 
-    def dynamics(x, u, k):
-        return dynamics_step(model, x, u, schedule.position[k],
-                             schedule.logic[k], schedule.orientation[k])
+    # Build-time precompute: runs ENTIRELY on the host CPU backend and
+    # hands back numpy.  The result becomes X_track / x_init jit
+    # CONSTANTS in the solvers, and embedding an accelerator array as a
+    # constant costs a d2h at lowering (which permanently degrades
+    # dispatch through the axon tunnel -- see contact/plan.py).
+    # CPU-backend readback is free, so nothing here touches the TPU.
+    with jax.default_device(jax.devices("cpu")[0]):
+        wx = (jnp.asarray(state_weights, dtype)
+              if state_weights is not None
+              else jnp.asarray([1e3] * 3 + [1e1] * 3 + [1e1] * 3, dtype))
+        wu = (jnp.asarray(control_weights, dtype)
+              if control_weights is not None
+              else jnp.full((robot.n_u,), 1e-3, dtype))
+        # jnp views for traced-index access inside the solver (the
+        # schedule and references are host-side numpy)
+        pos_j, logic_j, rot_j = (jnp.asarray(schedule.position),
+                                 jnp.asarray(schedule.logic),
+                                 jnp.asarray(schedule.orientation))
+        X_ref_j, U_ref_j = jnp.asarray(X_ref), jnp.asarray(U_ref)
 
-    def stage_cost(x, u, k):
-        dx = x - X_ref[k]
-        du = u - U_ref[k]
-        return jnp.sum(wx * dx * dx) + jnp.sum(wu * du * du)
+        def dynamics(x, u, k):
+            return dynamics_step(model, x, u, pos_j[k], logic_j[k],
+                                 rot_j[k])
 
-    def terminal_cost(x):
-        dx = x - X_ref[-1]
-        return 10.0 * jnp.sum(wx * dx * dx)
+        def stage_cost(x, u, k):
+            dx = x - X_ref_j[k]
+            du = u - U_ref_j[k]
+            return jnp.sum(wx * dx * dx) + jnp.sum(wu * du * du)
 
-    sol = solve_ilqr(dynamics, stage_cost, terminal_cost, X_ref[0], U_ref,
-                     settings or DdpSettings())
-    return sol.X, sol.U
+        def terminal_cost(x):
+            dx = x - X_ref_j[-1]
+            return 10.0 * jnp.sum(wx * dx * dx)
+
+        sol = solve_ilqr(dynamics, stage_cost, terminal_cost, X_ref_j[0],
+                         U_ref_j, settings or DdpSettings())
+        X, U = np.asarray(sol.X), np.asarray(sol.U)
+    return X.astype(dtype), U.astype(dtype)
 
 
 def weight_distribution_control_warm_start(robot: RobotSpec,
@@ -83,6 +104,7 @@ def weight_distribution_control_warm_start(robot: RobotSpec,
     """(N, nu) control warm start: each active contact carries an equal
     share of the robot weight, with 1e-3 tangential forces (reference
     src/centroidal_model.py:176-183)."""
+    # Host-side numpy (see centroid_state_warm_start).
     logic = np.asarray(schedule.logic)
     dtype = dtype or schedule.logic.dtype
     n, c = logic.shape
@@ -93,4 +115,4 @@ def weight_distribution_control_warm_start(robot: RobotSpec,
     per_contact[:, :, fx_col] = 1e-3 * logic
     per_contact[:, :, fx_col + 1] = 1e-3 * logic
     per_contact[:, :, fz_col] = share[:, None] * logic
-    return jnp.asarray(per_contact.reshape(n, robot.n_u), dtype)
+    return np.asarray(per_contact.reshape(n, robot.n_u), dtype)

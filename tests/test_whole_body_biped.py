@@ -126,20 +126,7 @@ def test_talos_6d_contact_restrains_rotation(talos_setup):
     assert float(jnp.abs(f[0, 3:6]).max()) > 1.0
 
 
-def test_bolt_whole_body_ddp(bolt_setup):
-    spec, plan, targets = bolt_setup
-    sol = wbd.solve_whole_body_ddp(
-        spec, targets, 0.01,
-        settings=DdpSettings(iterations=30, exact_quu=True))
-    mask = np.asarray(targets.contact_mask)[:, :, None]
-    err = np.abs(np.asarray(sol.feet[:-1]) - np.asarray(targets.foot_target))
-    assert (err * mask).max() < 0.02            # stance feet pinned
-    com_err = np.abs(np.asarray(sol.com)[:, 2]
-                     - np.asarray(targets.com_target)[:, 2])
-    assert com_err.max() < 0.05                 # height held through the gait
-
-
-_TALOS_DDP_SCRIPT = """
+_BIPED_DDP_SCRIPT = """
 import json
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -147,21 +134,23 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 from centroidal_mpc_tpu.config import gaits
-from centroidal_mpc_tpu.config.robots import TALOS
+from centroidal_mpc_tpu.config.robots import BOLT, TALOS
 from centroidal_mpc_tpu.contact.plan import build_contact_plan
 from centroidal_mpc_tpu.contact.swing import compute_swing_trajectories
 from centroidal_mpc_tpu.models import rigid_body as rb
 from centroidal_mpc_tpu.models import whole_body_ddp as wbd
 from centroidal_mpc_tpu.solver.ddp import DdpSettings
 
-gait = gaits.GaitSpec(gaits.PACE, step_length=0.0, step_height=0.05,
-                      step_knots=5, support_knots=2, nb_steps=1)
-plan = build_contact_plan(TALOS, gait, 0.03, dtype=jnp.float64)
+robot, spec, dt, step_height, step_knots, support_knots = __PARAMS__
+gait = gaits.GaitSpec(gaits.PACE, step_length=0.0, step_height=step_height,
+                      step_knots=step_knots, support_knots=support_knots,
+                      nb_steps=1)
+plan = build_contact_plan(robot, gait, dt, dtype=jnp.float64)
 swing = compute_swing_trajectories(plan, 0.001)
 targets = wbd.build_targets(plan, swing, 0.001, dtype=jnp.float64)
-spec = rb.talos_spec()
+spec = spec()
 sol = wbd.solve_whole_body_ddp(
-    spec, targets, 0.03, settings=DdpSettings(iterations=30, exact_quu=True))
+    spec, targets, dt, settings=DdpSettings(iterations=30, exact_quu=True))
 mask = np.asarray(targets.contact_mask)[:, :, None]
 err = np.abs(np.asarray(sol.feet[:-1]) - np.asarray(targets.foot_target))
 ds = np.asarray(targets.contact_mask).sum(1) == 2
@@ -178,24 +167,37 @@ print(json.dumps({
 """
 
 
-def test_talos_whole_body_ddp():
-    """Full talos whole-body DDP solve, isolated in a fresh interpreter.
+def _run_biped_ddp_isolated(params: str) -> dict:
+    """Run a full biped whole-body DDP solve in a fresh interpreter.
 
-    XLA:CPU repeatedly segfaults/aborts compiling this (large) program
+    XLA:CPU repeatedly segfaults/aborts compiling these (large) programs
     inside the long-lived full-suite process (observed 2026-08: SIGSEGV /
-    SIGABRT in backend_compile_and_load at this exact test, while the same
-    compile succeeds standalone every time).  A subprocess gives the
-    compile a fresh LLVM state and keeps the one-command suite green.
+    SIGABRT in backend_compile_and_load at exactly these DDP tests, while
+    the same compiles succeed standalone every time).  A subprocess gives
+    each compile a fresh LLVM state and keeps the one-command suite green.
     """
     import json
     import subprocess
     import sys
+    script = _BIPED_DDP_SCRIPT.replace("__PARAMS__", params)
     out = subprocess.run(
-        [sys.executable, "-c", _TALOS_DDP_SCRIPT], capture_output=True,
+        [sys.executable, "-c", script], capture_output=True,
         text=True, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-3000:]
-    res = json.loads(out.stdout.strip().splitlines()[-1])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_bolt_whole_body_ddp():
+    res = _run_biped_ddp_isolated(
+        "(BOLT, rb.bolt_spec, 0.01, 0.04, 6, 3)")
+    assert res["stance_err"] < 0.02             # stance feet pinned
+    assert res["com_z_err"] < 0.05              # height held through gait
+
+
+def test_talos_whole_body_ddp():
+    res = _run_biped_ddp_isolated(
+        "(TALOS, rb.talos_spec, 0.03, 0.05, 5, 2)")
     assert res["forces_shape"] == [res["horizon"], 2, 6]
     assert res["stance_err"] < 0.02
     assert res["com_z_err"] < 0.05
