@@ -73,12 +73,19 @@ def main():
                     help="ADMM eps_abs/eps_rel")
     ap.add_argument("--polish", action="store_true",
                     help="enable the active-set polish pass after ADMM")
+    ap.add_argument("--rho", default="fixed", choices=["fixed", "always"],
+                    help="fixed rho, or batched scheduled adaptation")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="chance-constrained mode (covariance propagation "
+                         "+ friction back-offs; ~1500 solves/s at batch 64)")
     args = ap.parse_args()
 
     qp = QPSettings(eps_abs=args.eps, eps_rel=args.eps, max_iter=4000,
-                    adaptive_rho=False, sweep_method=args.sweep,
+                    adaptive_rho=(args.rho == "always"),
+                    adaptive_rho_mode="always", sweep_method=args.sweep,
                     polish=args.polish)
     prob = presets.build_problem(presets.PRESETS[args.preset],
+                                 stochastic=args.stochastic,
                                  dtype=jnp.float32, qp=qp)
     prob = dataclasses.replace(
         prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend,

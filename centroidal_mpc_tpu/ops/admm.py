@@ -53,6 +53,14 @@ class QPSettings:
     scaling_iters: int = 10
     adaptive_rho: bool = True
     adaptive_rho_tol: float = 5.0
+    # 'cond': refactor only when the prim/dual ratio leaves the deadband
+    # (lax.cond -- cheap single-solve, but under vmap BOTH branches run
+    # every check, costing a factorization per segment regardless).
+    # 'always': unconditionally refactor at every residual check with the
+    # deadbanded rho -- same math, vmap-friendly (one batched
+    # factorization per check_interval, amortized over the segment).
+    # Block solver only; the dense solver keeps its per-row cond path.
+    adaptive_rho_mode: str = "cond"
     eq_rho_scale: float = 1e3
     # Block-solver factorization: 'cholesky' (blocked Cholesky with
     # pre-inverted factors; backward-stable, the production default) or

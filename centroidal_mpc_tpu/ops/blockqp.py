@@ -777,12 +777,21 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
             trigger = ((ratio > settings.adaptive_rho_tol)
                        | (ratio < 1.0 / settings.adaptive_rho_tol)) & ~done
 
-            def refactor(_):
-                return (new_rho, _rho_groups(settings, new_rho, s),
-                        factor(new_rho))
+            if settings.adaptive_rho_mode == "always":
+                # vmap-friendly: unconditional (batched) refactor with the
+                # deadbanded rho -- scenarios inside the deadband refactor
+                # with their unchanged rho (same iterates, wasted FLOPs),
+                # so no cond and no double-branch execution under vmap
+                rho = jnp.where(trigger, new_rho, rho)
+                rho_g = _rho_groups(settings, rho, s)
+                fac = factor(rho)
+            else:
+                def refactor(_):
+                    return (new_rho, _rho_groups(settings, new_rho, s),
+                            factor(new_rho))
 
-            rho, rho_g, fac = jax.lax.cond(
-                trigger, refactor, lambda _: (rho, rho_g, fac), None)
+                rho, rho_g, fac = jax.lax.cond(
+                    trigger, refactor, lambda _: (rho, rho_g, fac), None)
 
         return w, z, y, rho, rho_g, fac, it, prim, dual, done
 

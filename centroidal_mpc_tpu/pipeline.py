@@ -47,7 +47,9 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
                  dtype=jnp.float32, seed: int = 0,
                  ddp_settings: Optional[DdpSettings] = None,
                  whole_body_mode: str = "kinematic",
-                 physics_sims: int = 0) -> PipelineResult:
+                 physics_sims: int = 0,
+                 qp_backend: str = "block",
+                 stochastic_lqr_iters: int = 30) -> PipelineResult:
     """Run the full pipeline for one preset.
 
     Stage 1 (warm start): jitted centroidal iLQR tracking the contact
@@ -68,7 +70,17 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
     Crocoddyl stage, run_motion.py:49-72).
     physics_sims > 0 additionally runs the full-physics Monte-Carlo
     (sim/physics.py, the PyBullet role) with that many episodes.
+
+    qp_backend defaults to the block production solver: the dense
+    reference-layout path at the full reference horizon (N=165) carries
+    O(n^2) matrices through every ADMM iteration and is ~50x slower --
+    keep it for golden tests, not pipelines.
     """
+
+    def _fast(p: Problem) -> Problem:
+        return dataclasses.replace(p, scp=dataclasses.replace(
+            p.scp, qp_backend=qp_backend))
+
     # ---- stage 1: warm start
     prob0 = build_problem(preset, dtype=dtype)
     X_warm, U_warm = ddp_warm_start(prob0.model, prob0.plan.schedule,
@@ -78,7 +90,8 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
         store.save(art.WHOLEBODY_TO_CENTROIDAL, X=np.asarray(X_warm))
 
     # ---- stage 2: nominal SCP
-    prob = build_problem(preset, dtype=dtype, X_warm=X_warm, U_warm=U_warm)
+    prob = _fast(build_problem(preset, dtype=dtype, X_warm=X_warm,
+                               U_warm=U_warm))
     nominal = solve_scp(prob.model, prob.plan.schedule, prob.ocp,
                         prob.X0, prob.U0, prob.scp)
     interp = interpolate_scp_solution(np.asarray(nominal.X),
@@ -126,13 +139,27 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
             whole_body.export_robot_dat(wb_traj, store.root)
 
     # ---- stage 2': stochastic SCP
+    # The stochastic stage runs with 30 DARE iterations by default: the
+    # reference's 2-iteration LQR gains do not stabilize the closed loop
+    # at the full trot horizon, the covariance grows unboundedly, and the
+    # chance-constrained QP is infeasible (the reference demo hides this
+    # by interpolating the *nominal* solution in its stochastic branch,
+    # run_motion.py:110 -- a silent fallback).  Here an infeasible
+    # stochastic solve is reported, and its downstream stages are skipped
+    # instead of evaluating a garbage trajectory.
     stoch_sol = None
     if stochastic:
-        prob_s = build_problem(preset, stochastic=True, dtype=dtype,
-                               X_warm=X_warm, U_warm=U_warm)
+        prob_s = _fast(build_problem(preset, stochastic=True, dtype=dtype,
+                                     X_warm=X_warm, U_warm=U_warm))
+        scp_s = dataclasses.replace(prob_s.scp,
+                                    lqr_iters=stochastic_lqr_iters)
         stoch_sol = solve_scp(prob_s.model, prob_s.plan.schedule, prob_s.ocp,
-                              prob_s.X0, prob_s.U0, prob_s.scp)
-        if store is not None:
+                              prob_s.X0, prob_s.U0, scp_s)
+        if not bool(stoch_sol.success):
+            print("[pipeline] WARNING: stochastic SCP did not converge "
+                  f"(qp_converged={bool(stoch_sol.qp_converged)}); "
+                  "skipping stochastic artifacts/evaluation")
+        elif store is not None:
             interp_s = interpolate_scp_solution(np.asarray(stoch_sol.X),
                                                 np.asarray(stoch_sol.U))
             store.save(art.SCP_INTERPOLATED_STOCHASTIC, **interp_s)
@@ -152,7 +179,7 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
         stats["nominal_cum_cost"] = np.asarray(tc["cum_mean"])
         stats["nominal_cum_cost_std"] = np.asarray(tc["cum_std"])
         stats["nominal_violations"] = np.asarray(fr["violations"])
-        if stoch_sol is not None:
+        if stoch_sol is not None and bool(stoch_sol.success):
             mc_sto = monte_carlo.run_monte_carlo(
                 prob.model, prob.plan.schedule, stoch_sol.X, stoch_sol.U,
                 stoch_sol.K, key, n_sims)

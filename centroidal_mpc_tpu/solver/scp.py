@@ -62,6 +62,15 @@ class ScpSettings:
     # reference's np.linalg.norm(A, 2)) or 'power' (10-step power
     # iteration; batched SVD is slow on TPU and radius margins are wide)
     norm_method: str = "svd"
+    # DARE fixed-point iterations for the LQR gains (reference uses 2,
+    # src/centroidal_model.py:217-228).  At the full reference horizon
+    # (N=165) the 2-iteration gains do NOT stabilize the closed loop:
+    # the covariance trace grows ~0 -> 715 over the horizon and the
+    # chance back-offs make the stochastic QP infeasible (the reference
+    # demo masks this by interpolating the nominal solution,
+    # run_motion.py:110 / SURVEY.md 2b).  30 iterations keep Sigma small
+    # enough (trace ~65) that the stochastic solve converges.
+    lqr_iters: int = 2
     qp: QPSettings = QPSettings()
 
 
@@ -170,6 +179,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
 
     def body(c: Carry):
         data = compute_trajectory_data(model, schedule, c.X_lin, c.U_lin,
+                                       lqr_iters=settings.lqr_iters,
                                        with_covariance=cfg.stochastic)
         if settings.qp_backend == "block":
             qp = blockqp.build_block_qp(model, schedule, cfg, c.X_lin,

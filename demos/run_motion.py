@@ -33,6 +33,10 @@ def main():
                          "over the rigid-body contact dynamics")
     ap.add_argument("--physics-sims", type=int, default=0,
                     help="full-physics Monte-Carlo episodes (0 disables)")
+    ap.add_argument("--qp-backend", choices=["block", "dense"],
+                    default="block",
+                    help="block = structure-exploiting production solver; "
+                         "dense = reference-layout path (slow at N=165)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +62,8 @@ def main():
     result = run_pipeline(preset, store, stochastic=not args.nominal_only,
                           n_sims=args.sims, dtype=dtype,
                           whole_body_mode=args.whole_body,
-                          physics_sims=args.physics_sims)
+                          physics_sims=args.physics_sims,
+                          qp_backend=args.qp_backend)
 
     nom = result.nominal
     print(f"[nominal]   success={bool(nom.success)} "

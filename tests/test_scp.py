@@ -142,3 +142,28 @@ def test_solve_scp_is_jittable():
     sol = fn(prob.model, prob.plan.schedule, prob.ocp, prob.X0, prob.U0,
              settings=prob.scp)
     assert bool(sol.success)
+
+
+def test_full_horizon_stochastic_needs_stabilizing_gains():
+    """At the reference trot horizon (N=165) the 2-iteration DARE gains
+    (src/centroidal_model.py:217-228) do not stabilize the closed loop:
+    the covariance trace grows unboundedly and the chance back-offs drive
+    active friction upper bounds far negative (the reference demo masks
+    the resulting infeasibility by interpolating the *nominal* solution
+    in its stochastic branch, run_motion.py:110).  With 30 DARE
+    iterations (ScpSettings.lqr_iters / pipeline stochastic_lqr_iters)
+    the covariance stays bounded and the stochastic QP is feasible."""
+    import numpy as np
+    from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
+
+    prob = presets.build_problem(presets.SOLO12_TROT, stochastic=True,
+                                 dtype=jnp.float64)
+    X0, U0 = jnp.asarray(prob.X0), jnp.asarray(prob.U0)
+    traces = {}
+    for it in (2, 30):
+        data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                       X0, U0, lqr_iters=it,
+                                       with_covariance=True)
+        traces[it] = float(jnp.trace(data.Sigma[-1]))
+    assert traces[2] > 300.0          # reference semantics: unbounded growth
+    assert traces[30] < 0.3 * traces[2]  # stabilized gains bound Sigma
