@@ -72,7 +72,8 @@ def build_problem(preset: ProblemPreset, stochastic: bool = False,
                   X_warm: Optional[jnp.ndarray] = None,
                   U_warm: Optional[jnp.ndarray] = None,
                   dtype=jnp.float32,
-                  qp: Optional[QPSettings] = None) -> Problem:
+                  qp: Optional[QPSettings] = None,
+                  terrain=None) -> Problem:
     """Expand a preset into a ready-to-solve Problem.
 
     X_warm (N+1, nx) plays the role of the reference's
@@ -80,9 +81,13 @@ def build_problem(preset: ProblemPreset, stochastic: bool = False,
     and last rows and it is the tracking target,
     src/centroidal_model.py:80-89, src/cost.py:21-29); defaults to the
     analytic centroid warm start.
+
+    terrain (contact/terrain.Terrain): snaps footholds onto stepstones,
+    giving the schedule raised contact points and rotated contact frames
+    (the reference's Debris pathway, src/contact_plan.py:8-37).
     """
     plan = build_contact_plan(preset.robot, preset.gait, preset.dt,
-                              dtype=dtype)
+                              dtype=dtype, terrain=terrain)
     model = CentroidalModel.from_spec(
         preset.robot, preset.dt,
         Q=np.diag(preset.lqr_Q_diag),

@@ -63,6 +63,8 @@ class Phase:
     active: np.ndarray          # (C,) bool
     positions: np.ndarray       # (C, 3); rows of swinging feet hold the
                                 # placement the foot left (for swing interp)
+    rotations: Optional[np.ndarray] = None  # (C, 3, 3) contact frames;
+                                # None means identity (flat ground)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +92,7 @@ def build_contact_plan(
     dt: float,
     initial_foot_positions: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    terrain=None,
 ) -> ContactPlan:
     """Expand a gait into phases and a dense contact schedule.
 
@@ -100,7 +103,14 @@ def build_contact_plan(
         others keep their current placements;
       * after a stepping phase the swung feet have advanced forward by
         stepLength along +x;
-      * contact frames are identity (axis=[-1,0], angle=0 in the reference).
+      * contact frames are identity on flat ground (axis=[-1,0], angle=0 in
+        the reference).
+
+    With a `terrain` (contact/terrain.Terrain), every foothold is snapped
+    onto the highest covering surface: its z comes from the surface plane
+    and its contact frame from the surface rotation -- the reference's
+    rotated-`Debris` pathway (src/contact_plan.py:8-37, fill_debris_list
+    :305-328), which feeds the solver's rotated friction pyramids.
     """
     if initial_foot_positions is None:
         foot_pos = robot.stance_positions_array().copy()
@@ -108,6 +118,16 @@ def build_contact_plan(
         foot_pos = np.array(initial_foot_positions, dtype=np.float64)
     n_c = robot.n_contacts
     biped = n_c == 2
+    foot_rot = np.tile(np.eye(3), (n_c, 1, 1))
+
+    def snap(c: int) -> None:
+        if terrain is not None:
+            z, r = terrain.surface_at(foot_pos[c, 0], foot_pos[c, 1])
+            foot_pos[c, 2] = z
+            foot_rot[c] = r
+
+    for c in range(n_c):
+        snap(c)
 
     phases: List[Phase] = []
     t_start = 0.0
@@ -127,6 +147,7 @@ def build_contact_plan(
                 knot_end=knot + knots,
                 active=active,
                 positions=foot_pos.copy(),
+                rotations=foot_rot.copy(),
             )
         )
         # Feet that swing land stepLength ahead (reference
@@ -134,6 +155,7 @@ def build_contact_plan(
         # phase is emitted, so the *next* phase sees the stepped position).
         for c in swing:
             foot_pos[c, 0] += gait.step_length
+            snap(c)
         t_start = t_end
         knot += knots
 
@@ -141,14 +163,13 @@ def build_contact_plan(
     logic = np.zeros((n, n_c))
     position = np.zeros((n, n_c, 3))
     orientation = np.zeros((n, n_c, 3, 3))
-    eye3 = np.eye(3)
     for ph in phases:
         sl = slice(ph.knot_start, ph.knot_end)
         logic[sl] = ph.active.astype(np.float64)
         for c in range(n_c):
             if ph.active[c]:
                 position[sl, c] = ph.positions[c]
-                orientation[sl, c] = eye3
+                orientation[sl, c] = ph.rotations[c]
 
     # Host-side (numpy) leaves, deliberately: the schedule is closed over
     # by jitted solvers, where numpy constants embed into the program with

@@ -61,13 +61,16 @@ def compute_swing_trajectories(plan: ContactPlan, dt_ctrl: float) -> SwingTrajec
             pos[c, :2, t0:t0 + m] = xy[:, :m]
             vel[c, :2, t0:t0 + m] = dxy[:, :m]
             acc[c, :2, t0:t0 + m] = ddxy[:, :m]
-            # z: half-phase up to step_height, half-phase back down
-            # (reference src/contact_plan.py:99-108).
+            # z: half-phase up to an apex, half-phase back down (reference
+            # src/contact_plan.py:99-108 does 0 -> step_height -> 0; with
+            # uneven terrain the endpoints are the lift-off and landing
+            # surface heights, and the apex clears the higher of the two).
             half = int(0.5 * n_phase)
+            z_apex = max(x0[2], x1[2]) + step_height
             z_up, dz_up, ddz_up = poly5_traj(
-                np.array([0.0]), np.array([step_height]), 0.5 * duration, dt_ctrl)
+                np.array([x0[2]]), np.array([z_apex]), 0.5 * duration, dt_ctrl)
             z_dn, dz_dn, ddz_dn = poly5_traj(
-                np.array([step_height]), np.array([0.0]), 0.5 * duration, dt_ctrl)
+                np.array([z_apex]), np.array([x1[2]]), 0.5 * duration, dt_ctrl)
             mu = min(z_up.shape[1], half)
             md = min(z_dn.shape[1], n_phase - half)
             pos[c, 2, t0:t0 + mu] = z_up[0, :mu]

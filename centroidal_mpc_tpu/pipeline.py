@@ -49,7 +49,8 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
                  whole_body_mode: str = "kinematic",
                  physics_sims: int = 0,
                  qp_backend: str = "block",
-                 stochastic_lqr_iters: int = 30) -> PipelineResult:
+                 stochastic_lqr_iters: int = 30,
+                 terrain=None) -> PipelineResult:
     """Run the full pipeline for one preset.
 
     Stage 1 (warm start): jitted centroidal iLQR tracking the contact
@@ -70,6 +71,11 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
     Crocoddyl stage, run_motion.py:49-72).
     physics_sims > 0 additionally runs the full-physics Monte-Carlo
     (sim/physics.py, the PyBullet role) with that many episodes.
+    terrain (contact/terrain.Terrain) runs the whole pipeline on uneven
+    stepstone terrain: footholds snap onto tilted stones (rotated friction
+    pyramids in the SCP) and the physics plant collides against the same
+    stones (the reference's GAIT='..._ON_DEBRI' mode,
+    src/simulate_solo.py:217-256).
 
     qp_backend defaults to the block production solver: the dense
     reference-layout path at the full reference horizon (N=165) carries
@@ -82,7 +88,7 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
             p.scp, qp_backend=qp_backend))
 
     # ---- stage 1: warm start
-    prob0 = build_problem(preset, dtype=dtype)
+    prob0 = build_problem(preset, dtype=dtype, terrain=terrain)
     X_warm, U_warm = ddp_warm_start(prob0.model, prob0.plan.schedule,
                                     preset.robot,
                                     settings=ddp_settings or DdpSettings())
@@ -91,7 +97,7 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
 
     # ---- stage 2: nominal SCP
     prob = _fast(build_problem(preset, dtype=dtype, X_warm=X_warm,
-                               U_warm=U_warm))
+                               U_warm=U_warm, terrain=terrain))
     nominal = solve_scp(prob.model, prob.plan.schedule, prob.ocp,
                         prob.X0, prob.U0, prob.scp)
     interp = interpolate_scp_solution(np.asarray(nominal.X),
@@ -150,7 +156,8 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
     stoch_sol = None
     if stochastic:
         prob_s = _fast(build_problem(preset, stochastic=True, dtype=dtype,
-                                     X_warm=X_warm, U_warm=U_warm))
+                                     X_warm=X_warm, U_warm=U_warm,
+                                     terrain=terrain))
         scp_s = dataclasses.replace(prob_s.scp,
                                     lqr_iters=stochastic_lqr_iters)
         stoch_sol = solve_scp(prob_s.model, prob_s.plan.schedule, prob_s.ocp,
@@ -208,10 +215,13 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
                               jnp.zeros((3,), refs.h_des.dtype),
                               refs.q_des[0]])
         x0 = jnp.concatenate([q0, jnp.zeros((spec.nv,), refs.h_des.dtype)])
+        tarr = None if terrain is None else terrain.arrays(
+            np.float64 if dtype == jnp.float64 else np.float32)
         mc_phys = phys.run_physics_monte_carlo(
-            spec, refs, x0, jax.random.PRNGKey(seed + 1), physics_sims)
+            spec, refs, x0, jax.random.PRNGKey(seed + 1), physics_sims,
+            terrain=tarr)
         stats["physics_slippage"] = np.asarray(
-            phys.foot_slippage(mc_phys, refs))
+            phys.foot_slippage(mc_phys, refs, terrain=tarr))
         stats["physics_cum_cost"] = np.asarray(
             phys.tracking_cost(mc_phys, refs)[:, -1])
         stats["physics_fell"] = np.asarray(mc_phys.fell)

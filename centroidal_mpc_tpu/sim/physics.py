@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from centroidal_mpc_tpu.contact.terrain import FLAT, Terrain, TerrainArrays
 from centroidal_mpc_tpu.models import rigid_body as rb
 from centroidal_mpc_tpu.sim.monte_carlo import FORCE_COV, PUSH_MS
 
@@ -95,43 +96,77 @@ def build_references(wb_traj, X_centroidal, K_lqr, schedule,
         kp=jnp.asarray(wb_traj.kp, dtype), kd=jnp.asarray(wb_traj.kd, dtype))
 
 
-def _contact_forces(settings: PhysicsSettings, feet, feet_vel, anchors,
-                    dtype):
-    """Penalty contact: spring-damper normal + anchored Coulomb friction.
+def surface_query(terrain: TerrainArrays, feet):
+    """Active surface under each foot: the highest covering plane.
 
-    Returns (forces (C, 3), new anchors (C, 2)).  Feet above ground give
-    zero force and re-anchor at their current xy.
+    feet: (C, 3).  Returns (p0 (C, 3), n (C, 3), z_surf (C,)) -- a plane
+    point, the unit normal, and the plane height at each foot's xy.  Row 0
+    of the terrain (flat ground) covers everywhere, so every foot always
+    has a surface.  The TPU-native analog of PyBullet's collision query
+    against the reference's stepstone boxes (src/simulate_solo.py:55-75).
     """
-    pen = -feet[:, 2]                               # penetration depth
+    dxy = feet[:, None, :2] - terrain.p0[None, :, :2]        # (C, S, 2)
+    covers = (jnp.abs(dxy) <= terrain.half[None]).all(-1)    # (C, S)
+    n = terrain.normal                                       # (S, 3)
+    zs = (terrain.p0[None, :, 2]
+          - (dxy[..., 0] * n[None, :, 0] + dxy[..., 1] * n[None, :, 1])
+          / n[None, :, 2])                                   # (C, S)
+    zs = jnp.where(covers, zs, -jnp.inf)
+    idx = jnp.argmax(zs, axis=1)                             # (C,)
+    rows = jnp.arange(feet.shape[0])
+    # jnp.asarray: the terrain leaves are host numpy constants (see
+    # Terrain.arrays), which cannot be fancy-indexed by traced indices
+    return (jnp.asarray(terrain.p0)[idx], jnp.asarray(terrain.normal)[idx],
+            zs[rows, idx])
+
+
+def _contact_forces(settings: PhysicsSettings, feet, feet_vel, anchors,
+                    dtype, terrain: TerrainArrays):
+    """Penalty contact against the terrain's active surface planes:
+    spring-damper normal force along each surface normal + anchored Coulomb
+    friction in its tangent plane.
+
+    Returns (forces (C, 3), new anchors (C, 3)).  Feet above their surface
+    give zero force and re-anchor at their current position.  On flat
+    ground (terrain row 0 only) this reduces exactly to the round-1
+    z-spring / xy-anchor model.
+    """
+    p0, n, _ = surface_query(terrain, feet)
+    pen = -jnp.sum((feet - p0) * n, axis=1)         # depth along the normal
     in_contact = pen > 0.0
-    fz = jnp.where(
-        in_contact,
-        settings.ground_kp * pen - settings.ground_kd * feet_vel[:, 2],
-        0.0)
-    fz = jnp.maximum(fz, 0.0)
-    ft_spring = (-settings.tangent_kp * (feet[:, :2] - anchors)
-                 - settings.tangent_kd * feet_vel[:, :2])
+    vn = jnp.sum(feet_vel * n, axis=1)
+    fn = jnp.where(in_contact,
+                   settings.ground_kp * pen - settings.ground_kd * vn, 0.0)
+    fn = jnp.maximum(fn, 0.0)
+    disp = feet - anchors
+    disp_t = disp - n * jnp.sum(disp * n, axis=1, keepdims=True)
+    vel_t = feet_vel - n * vn[:, None]
+    ft_spring = (-settings.tangent_kp * disp_t
+                 - settings.tangent_kd * vel_t)
     ft_norm = jnp.linalg.norm(ft_spring, axis=1) + 1e-12
-    ft_max = settings.mu * fz
+    ft_max = settings.mu * fn
     scale = jnp.minimum(1.0, ft_max / ft_norm)
     ft = ft_spring * scale[:, None] * in_contact[:, None]
     # sliding or airborne feet re-anchor so the spring matches the applied
     # (clamped) force; sticking feet keep their anchor
     slid = (ft_norm > ft_max) | ~in_contact
-    anchor_slide = feet[:, :2] + (ft + settings.tangent_kd
-                                  * feet_vel[:, :2]) / settings.tangent_kp
+    anchor_slide = feet + (ft + settings.tangent_kd
+                           * vel_t) / settings.tangent_kp
     anchors_new = jnp.where(slid[:, None],
                             jnp.where(in_contact[:, None], anchor_slide,
-                                      feet[:, :2]),
+                                      feet),
                             anchors)
-    return jnp.concatenate([ft, fz[:, None]], axis=1), anchors_new
+    return ft + n * fn[:, None], anchors_new
 
 
 def simulate_episode(spec: rb.RigidBodySpec, refs: ClosedLoopReferences,
                      x0: jnp.ndarray, push_force: jnp.ndarray,
                      push_start: jnp.ndarray, push_len: int,
-                     settings: PhysicsSettings = PhysicsSettings()):
+                     settings: PhysicsSettings = PhysicsSettings(),
+                     terrain: TerrainArrays | None = None):
     """One 1 kHz closed-loop episode; returns (h, feet, rpy) time series."""
+    if terrain is None:
+        terrain = FLAT.arrays(x0.dtype)
     dtype = x0.dtype
     nq, nv, nf = spec.nq, spec.nv, spec.n_feet
     t_total = refs.q_des.shape[0]
@@ -164,7 +199,7 @@ def simulate_episode(spec: rb.RigidBodySpec, refs: ClosedLoopReferences,
         jc = rb.contact_jacobian(spec, q).reshape(nf * 3, nv)
         feet_vel = (jc @ v).reshape(nf, 3)
         f_c, anchors = _contact_forces(settings, feet, feet_vel, anchors,
-                                       dtype)
+                                       dtype, terrain)
         m = rb.mass_matrix(spec, q)
         h_bias = rb.bias_forces(spec, q, v)
         gen = (jnp.concatenate([jnp.zeros((6,), dtype), tau])
@@ -180,7 +215,7 @@ def simulate_episode(spec: rb.RigidBodySpec, refs: ClosedLoopReferences,
         return (q_new, v_new, anchors), (h, feet, q_new[3:6])
 
     q0, v0 = x0[:nq], x0[nq:]
-    anchors0 = rb.foot_points(spec, q0)[:, :2]
+    anchors0 = rb.foot_points(spec, q0)
     (_, _, _), (h, feet, rpy) = jax.lax.scan(
         step, (q0, v0, anchors0), (ts, push_active))
     return h, feet, rpy
@@ -190,6 +225,7 @@ def run_physics_monte_carlo(spec: rb.RigidBodySpec,
                             refs: ClosedLoopReferences, x0: jnp.ndarray,
                             key, n_sims: int,
                             settings: PhysicsSettings = PhysicsSettings(),
+                            terrain: TerrainArrays | None = None,
                             ) -> PhysicsSimResult:
     """vmap `simulate_episode` over sampled pushes (the reference's
     nb_sims loop, src/simulate_solo.py:260)."""
@@ -204,7 +240,7 @@ def run_physics_monte_carlo(spec: rb.RigidBodySpec,
     starts = jax.random.randint(kt, (n_sims,), 0, hi)
     h, feet, rpy = jax.vmap(
         lambda f, s: simulate_episode(spec, refs, x0, f, s, push_len,
-                                      settings))(forces, starts)
+                                      settings, terrain))(forces, starts)
     nominal_z = x0[2]
     fell = h[:, :, 2].min(axis=1) < 0.5 * nominal_z
     return PhysicsSimResult(h=h, feet=feet, base_rpy=rpy, fell=fell,
@@ -212,7 +248,8 @@ def run_physics_monte_carlo(spec: rb.RigidBodySpec,
 
 
 def foot_slippage(result: PhysicsSimResult, refs: ClosedLoopReferences,
-                  threshold: float = 1e-5) -> jnp.ndarray:
+                  threshold: float = 1e-5,
+                  terrain: TerrainArrays | None = None) -> jnp.ndarray:
     """(S,) cumulative stance-foot xy slip per episode (the reference's
     compute_norm_contact_slippage, src/utils.py:94-114) — measurable here
     because the plant's feet really slide when the friction cone
@@ -220,7 +257,12 @@ def foot_slippage(result: PhysicsSimResult, refs: ClosedLoopReferences,
     feet = result.feet                                  # (S, T, C, 3)
     d = jnp.linalg.norm(feet[:, 1:, :, :2] - feet[:, :-1, :, :2], axis=-1)
     stance = (refs.logic[1:] > 0).astype(d.dtype)       # (T-1, C)
-    on_ground = (feet[:, 1:, :, 2] < 0.0) & (feet[:, :-1, :, 2] < 0.0)
+    if terrain is None:
+        terrain = FLAT.arrays(feet.dtype)
+    surf = jax.vmap(jax.vmap(
+        lambda f: surface_query(terrain, f)[2]))(feet)  # (S, T, C)
+    below = feet[..., 2] < surf
+    on_ground = below[:, 1:] & below[:, :-1]
     slip = d * stance[None] * on_ground.astype(d.dtype)
     return jnp.where(slip > threshold, slip, 0.0).sum(axis=(1, 2))
 

@@ -15,6 +15,7 @@ import pytest
 
 from centroidal_mpc_tpu import presets
 from centroidal_mpc_tpu.config import gaits
+from centroidal_mpc_tpu.contact import terrain
 from centroidal_mpc_tpu.contact.swing import compute_swing_trajectories
 from centroidal_mpc_tpu.models import rigid_body as rb
 from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
@@ -52,9 +53,10 @@ def test_contact_force_laws():
                      [0.5, 0.0, 0.0],
                      [0.0, 0.0, 0.0],
                      [0.0, 0.0, 1.0]])
-    anchors = feet[:, :2] + jnp.array([[0.0, 0.0], [-0.05, 0.0],
-                                       [0.0, 0.0], [0.0, 0.0]])
-    f, new_anchors = phys._contact_forces(s, feet, vel, anchors, feet.dtype)
+    anchors = feet + jnp.array([[0.0, 0.0, 0.0], [-0.05, 0.0, 0.0],
+                                [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    f, new_anchors = phys._contact_forces(s, feet, vel, anchors, feet.dtype,
+                                          terrain.FLAT.arrays(feet.dtype))
     # static foot: pure normal force kp*pen
     np.testing.assert_allclose(float(f[0, 2]), s.ground_kp * 0.002)
     assert abs(float(f[0, 0])) < 1e-12
@@ -65,7 +67,7 @@ def test_contact_force_laws():
     # airborne foot: zero force, anchor snaps to current xy
     np.testing.assert_allclose(np.asarray(f[2]), 0.0)
     np.testing.assert_allclose(np.asarray(new_anchors[2]),
-                               np.asarray(feet[2, :2]))
+                               np.asarray(feet[2]))
     # separating fast: damper would pull -> clamped at zero
     assert float(f[3, 2]) == 0.0
 
