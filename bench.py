@@ -56,6 +56,92 @@ def per_call_time(solve, inputs, k=10, trials=3):
     return max((tk - t1) / k, 1e-9)
 
 
+def accuracy_tiers(preset, args):
+    """Accuracy-at-speed table (VERDICT round 1, item 2b): f32-on-TPU SCP
+    solutions at several ADMM tolerance tiers, each measured against the
+    f64 eps=1e-7+polish reference solution (solved on the host CPU backend
+    -- the reference's OSQP operating point, src/scp_solver.py:62-63).
+    Returns a list of {eps, polish, solves_per_s, x_err_inf, u_err_inf}.
+    """
+    import numpy as np
+    from centroidal_mpc_tpu.solver.scp import solve_scp
+
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        qp64 = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=20000,
+                          adaptive_rho=True, polish=True)
+        p64 = presets.build_problem(preset, dtype=jnp.float64, qp=qp64)
+        p64 = dataclasses.replace(
+            p64, scp=dataclasses.replace(p64.scp, qp_backend="block"))
+        sol64 = solve_scp(p64.model, p64.plan.schedule, p64.ocp, p64.X0,
+                          p64.U0, p64.scp)
+        X_ref = np.asarray(sol64.X, np.float64)
+        U_ref = np.asarray(sol64.U, np.float64)
+        assert bool(sol64.success), "f64 reference SCP failed"
+
+    tiers = [(5e-4, False), (1e-4, False), (1e-5, False), (1e-4, True)]
+    out = []
+    tier_batch = min(args.batch, 64)
+    for eps, polish in tiers:
+        qp = QPSettings(eps_abs=eps, eps_rel=eps, max_iter=4000,
+                        adaptive_rho=False, sweep_method=args.sweep,
+                        polish=polish)
+        prob = presets.build_problem(preset, dtype=jnp.float32, qp=qp)
+        prob = dataclasses.replace(
+            prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend,
+                                          norm_method="power"))
+        Xb = jnp.broadcast_to(prob.X0, (tier_batch,) + prob.X0.shape)
+        Ub = jnp.broadcast_to(prob.U0, (tier_batch,) + prob.U0.shape)
+        solve = jax.jit(lambda c, x, u, _p=prob: batched_solve(
+            _p.model, _p.plan.schedule, c, x, u, _p.scp))
+        inputs = []
+        for r in range(2):
+            Xr = Xb + 1e-4 * r
+            inputs.append((tile_ocp_config(prob.ocp, Xr[:, 0], Xr[:, -1],
+                                           Xr), Xr, Ub))
+        sol = solve(*inputs[0])
+        jax.block_until_ready(sol)
+        x_err = float(jnp.max(jnp.abs(
+            sol.X[0].astype(jnp.float32)
+            - jnp.asarray(X_ref, jnp.float32))))
+        u_err = float(jnp.max(jnp.abs(
+            sol.U[0].astype(jnp.float32)
+            - jnp.asarray(U_ref, jnp.float32))))
+        t = per_call_time(solve, inputs, max(args.chain // 2, 3), 2)
+        out.append({"eps": eps, "polish": polish,
+                    "solves_per_s": round(tier_batch / t, 1),
+                    "x_err_inf": round(x_err, 8),
+                    "u_err_inf": round(u_err, 8)})
+    return out
+
+
+def latency_distribution(solve1, in1, n_probes: int):
+    """p50/p99 single-solve latency through the axon tunnel.
+
+    In sync mode every readback costs one ~constant tunnel round trip;
+    the per-probe time is t_i = C_tunnel + t_solve_i.  C_tunnel is
+    measured as the median cost of syncing an already-materialized array
+    (a pure round trip) and subtracted.  On a locally-attached chip
+    C ~ 0 and the raw numbers apply directly.
+    """
+    import numpy as np
+    ready = jax.block_until_ready(jnp.zeros((1,), jnp.float32) + 1.0)
+    const = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ready)
+        const.append(time.perf_counter() - t0)
+    c_tunnel = float(np.median(const))
+    ts = []
+    for i in range(n_probes):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve1(*in1[i % len(in1)]))
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts) - c_tunnel
+    return (float(np.percentile(ts, 50) * 1e3),
+            float(np.percentile(ts, 99) * 1e3), c_tunnel * 1e3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -66,8 +152,8 @@ def main():
                     choices=sorted(presets.PRESETS))
     ap.add_argument("--backend", default="block",
                     choices=["block", "dense"])
-    ap.add_argument("--latency-probes", type=int, default=1,
-                    help="0 disables the single-solve latency measurement")
+    ap.add_argument("--latency-probes", type=int, default=200,
+                    help="0 disables the latency-distribution measurement")
     ap.add_argument("--sweep", default="scan", choices=["scan", "assoc"])
     ap.add_argument("--eps", type=float, default=5e-4,
                     help="ADMM eps_abs/eps_rel")
@@ -78,6 +164,8 @@ def main():
     ap.add_argument("--stochastic", action="store_true",
                     help="chance-constrained mode (covariance propagation "
                          "+ friction back-offs; ~1500 solves/s at batch 64)")
+    ap.add_argument("--no-accuracy", action="store_true",
+                    help="skip the accuracy-at-speed tier table")
     args = ap.parse_args()
 
     qp = QPSettings(eps_abs=args.eps, eps_rel=args.eps, max_iter=4000,
@@ -116,10 +204,10 @@ def main():
     solves_per_s = batch / t_solve
 
     # single-solve latency (BASELINE.md p99-within-10ms row): amortized
-    # per-solve wall time at batch 1 -- what a locally-attached chip
-    # delivers per MPC tick (the tunnel constant cancels; a local device
-    # has no tunnel).
-    lat_ms = float("nan")
+    # per-solve wall time at batch 1 plus the p50/p99 distribution over
+    # >= latency_probes individual solves (tunnel constant subtracted --
+    # a locally-attached chip has no tunnel).
+    lat_ms = p50_ms = p99_ms = float("nan")
     if args.latency_probes > 0:
         solve1 = jax.jit(lambda c, x, u: batched_solve(
             prob.model, prob.plan.schedule, c, x, u, prob.scp))
@@ -131,18 +219,30 @@ def main():
         out = solve1(*in1[0])
         jax.block_until_ready(out)
         lat_ms = per_call_time(solve1, in1, args.chain, args.trials) * 1e3
+        p50_ms, p99_ms, c_tunnel_ms = latency_distribution(
+            solve1, in1, args.latency_probes)
 
-    print(json.dumps({
+    tiers = None
+    if not args.no_accuracy:
+        tiers = accuracy_tiers(presets.PRESETS[args.preset], args)
+
+    record = {
         "metric": "scp_solves_per_s_per_chip",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-    }))
+        "latency_p50_ms": round(p50_ms, 3),
+        "latency_p99_ms": round(p99_ms, 3),
+    }
+    if tiers is not None:
+        record["accuracy_tiers"] = tiers
+    print(json.dumps(record))
     print(f"# backend={args.backend} batch={batch} "
           f"batch_time={t_solve*1e3:.2f}ms "
           f"success={n_success}/{batch} mean_qp_iters="
           f"{float(jnp.mean(sol.qp_iterations)):.0f} "
-          f"latency_single={lat_ms:.2f}ms "
+          f"latency_single={lat_ms:.2f}ms p50={p50_ms:.2f}ms "
+          f"p99={p99_ms:.2f}ms "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 

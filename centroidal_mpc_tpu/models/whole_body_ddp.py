@@ -362,8 +362,8 @@ def _weights_vector(w: WholeBodyWeights, dtype) -> jnp.ndarray:
 def _solve_whole_body(spec: rb.RigidBodySpec, targets: WholeBodyTargets,
                       w: jnp.ndarray, x0: jnp.ndarray, U0: jnp.ndarray,
                       dt: float, settings: DdpSettings,
-                      contact: rb.ContactDynamicsSettings
-                      ) -> WholeBodySolution:
+                      contact: rb.ContactDynamicsSettings,
+                      X_traj=None) -> WholeBodySolution:
     n, n_c = targets.contact_mask.shape
     dtype = targets.com_target.dtype
     q_ref = x0[:spec.nq]
@@ -416,7 +416,8 @@ def _solve_whole_body(spec: rb.RigidBodySpec, targets: WholeBodyTargets,
         return sdt * jnp.sqrt(w[9]) * state_residual(q, v, n)
 
     sol: DdpSolution = solve_ilqr_residual(
-        dynamics, stage_residual, terminal_residual, x0, U0, settings)
+        dynamics, stage_residual, terminal_residual, x0, U0, settings,
+        X_init=X_traj)
 
     # extraction (reference get_solution_trajectories,
     # src/whole_body_control.py:384-432)
@@ -438,6 +439,33 @@ def _solve_whole_body(spec: rb.RigidBodySpec, targets: WholeBodyTargets,
                              cost=sol.cost, iterations=sol.iterations)
 
 
+def kinematic_state_warm_start(spec: rb.RigidBodySpec,
+                               targets: WholeBodyTargets,
+                               geom: Optional[kin.LegGeometry] = None,
+                               ) -> jnp.ndarray:
+    """(N+1, nx) state-trajectory warm start: per-knot CoM-matched IK
+    postures (zero velocity) -- the reference's xs warm start handed to
+    SolverFDDP (run_motion.py:24-27; quasi-static postures at
+    src/whole_body_control.py:168-201).  Feed as solve_whole_body_ddp's
+    X_traj to enable the FDDP gap-handling mode; the trajectory is NOT a
+    rollout, which is exactly what FDDP tolerates and pure iLQR cannot."""
+    mask = targets.contact_mask
+    n = mask.shape[0]
+    geom = geom or leg_geometry_from_spec(spec)
+    foot_pad = jnp.concatenate([targets.foot_target,
+                                targets.foot_target[-1:]], axis=0)
+    if geom is not None:
+        qs = jax.vmap(lambda c, f: _com_matched_config(spec, c, f, geom))(
+            targets.com_target, foot_pad)
+    else:
+        x0 = standing_state(spec, targets)
+        qs = jax.vmap(lambda c, f: _numeric_config(
+            spec, c, f, x0[:spec.nq], iters=10))(
+                targets.com_target, foot_pad)
+    vs = jnp.zeros((n + 1, spec.nv), qs.dtype)
+    return jnp.concatenate([qs, vs], axis=1)
+
+
 def solve_whole_body_ddp(
         spec: rb.RigidBodySpec,
         targets: WholeBodyTargets,
@@ -447,6 +475,7 @@ def solve_whole_body_ddp(
         weights: WholeBodyWeights = WholeBodyWeights(),
         settings: DdpSettings = DdpSettings(iterations=60, exact_quu=True),
         contact: rb.ContactDynamicsSettings = rb.ContactDynamicsSettings(),
+        X_traj: Optional[jnp.ndarray] = None,
 ) -> WholeBodySolution:
     """Solve the whole-body OCP with Gauss-Newton iLQR over the contact-KKT
     dynamics.
@@ -463,7 +492,8 @@ def solve_whole_body_ddp(
     if U0 is None:
         U0 = gravity_torque_warm_start(spec, targets)
     return _solve_whole_body(spec, targets, _weights_vector(weights, dtype),
-                             x0, U0, float(dt), settings, contact)
+                             x0, U0, float(dt), settings, contact,
+                             X_traj=X_traj)
 
 
 def interpolate_whole_body_solution(sol: WholeBodySolution, dt: float,

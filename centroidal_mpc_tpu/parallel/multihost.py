@@ -40,17 +40,28 @@ def initialize(coordinator_address: Optional[str] = None,
     """jax.distributed.initialize with cluster-env autodetection.
 
     No-op when the process group is already initialized or when running
-    single-process (num_processes == 1 after autodetect).
+    single-process (num_processes == 1 after autodetect).  On the CPU
+    backend, cross-process collectives need the gloo implementation
+    (default is single-process-only) -- set before initializing.
     """
-    if jax.process_count() > 1:
+    # NOTE: must not touch the XLA backend before initialize (even
+    # jax.process_count() would initialize it) -- use is_initialized().
+    if jax.distributed.is_initialized():
         return
+    explicit = coordinator_address is not None
+    if explicit and (num_processes or 1) > 1:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # non-CPU backends / older flag name
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError):
+        if explicit:
+            raise
         # single-process environment (no cluster env vars): run local
-        pass
 
 
 def global_mesh(axis: str = AXIS) -> Mesh:
@@ -74,12 +85,28 @@ def shard_global_batch(mesh: Mesh, tree, axis: str = AXIS):
 
     Each process passes the SAME global numpy arrays; rows are distributed
     over the mesh axis.  (On multi-host, prefer building only the local
-    rows and `jax.make_array_from_process_local_data`.)
+    rows and `shard_local_rows`.)
     """
     sharding = NamedSharding(mesh, P(axis))
 
     def place(a):
         return jax.device_put(np.asarray(a), sharding)
+
+    return jax.tree.map(place, tree)
+
+
+def shard_local_rows(mesh: Mesh, tree, axis: str = AXIS):
+    """Assemble global sharded arrays from *process-local* batch rows.
+
+    Each process passes only its own rows (batch_local = batch_global /
+    process_count); the result is a global array sharded over the mesh
+    axis.  This is the multi-host input path: no process ever materializes
+    another host's shard."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def place(a):
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(a))
 
     return jax.tree.map(place, tree)
 

@@ -40,6 +40,9 @@ class PipelineResult:
     eval_stats: Dict[str, np.ndarray]
     wb_ddp: Optional[object] = None          # WholeBodySolution (joint-space)
     mc_physics: Optional[object] = None      # PhysicsSimResult
+    wb_traj: Optional[object] = None         # kinematic WholeBodyTrajectory
+    physics_refs: Optional[object] = None    # ClosedLoopReferences
+    terrain: Optional[object] = None         # contact/terrain.Terrain
 
 
 def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = None,
@@ -202,6 +205,7 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
 
     # ---- stage 4b: full-physics Monte-Carlo (the PyBullet role)
     mc_phys = None
+    physics_refs = None
     if physics_sims > 0 and wb_traj is not None:
         from centroidal_mpc_tpu.models import rigid_body as rb
         from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
@@ -220,8 +224,11 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
         mc_phys = phys.run_physics_monte_carlo(
             spec, refs, x0, jax.random.PRNGKey(seed + 1), physics_sims,
             terrain=tarr)
+        physics_refs = refs
         stats["physics_slippage"] = np.asarray(
             phys.foot_slippage(mc_phys, refs, terrain=tarr))
+        stats["physics_slippage_series"] = np.asarray(
+            phys.foot_slippage_series(mc_phys, refs, terrain=tarr))
         stats["physics_cum_cost"] = np.asarray(
             phys.tracking_cost(mc_phys, refs)[:, -1])
         stats["physics_fell"] = np.asarray(mc_phys.fell)
@@ -235,4 +242,6 @@ def run_pipeline(preset: ProblemPreset, store: Optional[art.ArtifactStore] = Non
                           warm_U=np.asarray(U_warm), nominal=nominal,
                           stochastic=stoch_sol, mc_nominal=mc_nom,
                           mc_stochastic=mc_sto, eval_stats=stats,
-                          wb_ddp=wb_sol, mc_physics=mc_phys)
+                          wb_ddp=wb_sol, mc_physics=mc_phys,
+                          wb_traj=wb_traj, physics_refs=physics_refs,
+                          terrain=terrain)

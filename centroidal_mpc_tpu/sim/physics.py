@@ -267,6 +267,27 @@ def foot_slippage(result: PhysicsSimResult, refs: ClosedLoopReferences,
     return jnp.where(slip > threshold, slip, 0.0).sum(axis=(1, 2))
 
 
+def foot_slippage_series(result: PhysicsSimResult,
+                         refs: ClosedLoopReferences,
+                         threshold: float = 1e-5,
+                         terrain: TerrainArrays | None = None) -> jnp.ndarray:
+    """(S, T-1) cumulative stance-foot slip over time per episode -- the
+    time-resolved form behind the reference's cumulative-slippage figure
+    (src/utils.py:304-385)."""
+    feet = result.feet                                  # (S, T, C, 3)
+    d = jnp.linalg.norm(feet[:, 1:, :, :2] - feet[:, :-1, :, :2], axis=-1)
+    stance = (refs.logic[1:] > 0).astype(d.dtype)
+    if terrain is None:
+        terrain = FLAT.arrays(feet.dtype)
+    surf = jax.vmap(jax.vmap(
+        lambda f: surface_query(terrain, f)[2]))(feet)
+    below = feet[..., 2] < surf
+    on_ground = below[:, 1:] & below[:, :-1]
+    slip = d * stance[None] * on_ground.astype(d.dtype)
+    slip = jnp.where(slip > threshold, slip, 0.0).sum(axis=2)  # (S, T-1)
+    return jnp.cumsum(slip, axis=1)
+
+
 def tracking_cost(result: PhysicsSimResult, refs: ClosedLoopReferences,
                   weights=None) -> jnp.ndarray:
     """(S, T) cumulative centroidal tracking cost (the reference's

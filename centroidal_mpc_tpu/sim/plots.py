@@ -94,6 +94,75 @@ def plot_centroidal_trajectory(X: np.ndarray, X_ref: Optional[np.ndarray],
     return _save(fig, save_dir, "centroidal_trajectory")
 
 
+def plot_foot_slippage(slippage_series: Dict[str, np.ndarray],
+                       dt_ctrl: float, save_dir=None):
+    """Cumulative foot-slippage mean +- std across Monte-Carlo episodes
+    (reference src/utils.py:304-385, plot_contact_slippage): one curve per
+    controller variant (nominal / stochastic), shaded std band.
+
+    slippage_series: {label: (S, T) cumulative slip per episode} -- from
+    sim/physics.foot_slippage_series.
+    """
+    fig, ax = plt.subplots(figsize=(8, 4))
+    for label, series in slippage_series.items():
+        series = np.asarray(series)
+        t = np.arange(series.shape[1]) * dt_ctrl
+        mean = series.mean(axis=0)
+        std = series.std(axis=0)
+        ax.plot(t, mean, label=label)
+        ax.fill_between(t, mean - std, mean + std, alpha=0.2)
+    ax.set_xlabel("time [s]")
+    ax.set_ylabel("cumulative norm of contact slippage [m]")
+    ax.legend()
+    return _save(fig, save_dir, "foot_slippage")
+
+
+def plot_whole_body_solution(q: np.ndarray, qdot: np.ndarray,
+                             tau: np.ndarray, dt_ctrl: float,
+                             foot_names=("FR", "FL", "HR", "HL"),
+                             joint_names=("HAA", "HFE", "KFE"),
+                             base_pos: Optional[np.ndarray] = None,
+                             save_dir=None):
+    """Whole-body solution panels (reference src/whole_body_control.py:
+    490-657, plotSolution): per-leg joint positions, velocities, and
+    torques over time, plus the base/CoM path when given.
+
+    q/qdot/tau: (T, n_legs*3) leg-major joint trajectories.
+    """
+    t = np.arange(q.shape[0]) * dt_ctrl
+    n_legs = q.shape[1] // len(joint_names)
+    fig, axes = plt.subplots(3, n_legs, sharex=True,
+                             figsize=(3.2 * n_legs, 8))
+    axes = np.atleast_2d(axes)
+    for c in range(n_legs):
+        for row, (arr, ylab) in enumerate(
+                [(q, "q [rad]"), (qdot, "qdot [rad/s]"),
+                 (tau, "tau [N m]")]):
+            ax = axes[row, c]
+            for j, jn in enumerate(joint_names):
+                ax.plot(t, arr[:, 3 * c + j], lw=0.8,
+                        label=jn if (c == 0 and row == 0) else None)
+            if row == 0:
+                name = foot_names[c] if c < len(foot_names) else f"leg{c}"
+                ax.set_title(name, fontsize=9)
+            if c == 0:
+                ax.set_ylabel(ylab)
+            if row == 2:
+                ax.set_xlabel("time [s]")
+    fig.legend(loc="upper right", fontsize="small")
+    _save(fig, save_dir, "whole_body_solution")
+
+    if base_pos is not None:
+        fig2, ax2 = plt.subplots(figsize=(6, 4))
+        base_pos = np.asarray(base_pos)
+        ax2.plot(base_pos[:, 0], base_pos[:, 2])
+        ax2.set_xlabel("x [m]")
+        ax2.set_ylabel("z [m]")
+        ax2.set_title("base path (sagittal)")
+        _save(fig2, save_dir, "whole_body_base_path")
+    return fig
+
+
 def plot_swing_trajectories(swing, foot_names, dt_ctrl: float,
                             save_dir=None):
     """Swing-foot position/velocity/acceleration references

@@ -85,8 +85,8 @@ def solve_ilqr(dynamics: Callable, stage_cost: Callable,
 def solve_ilqr_residual(dynamics: Callable, stage_residual: Callable,
                         terminal_residual: Callable, x0: jnp.ndarray,
                         U0: jnp.ndarray,
-                        settings: DdpSettings = DdpSettings()
-                        ) -> DdpSolution:
+                        settings: DdpSettings = DdpSettings(),
+                        X_init: jnp.ndarray | None = None) -> DdpSolution:
     """Gauss-Newton iLQR over least-squares costs (Crocoddyl's residual
     models, reference src/whole_body_control.py:46-152).
 
@@ -96,7 +96,15 @@ def solve_ilqr_residual(dynamics: Callable, stage_residual: Callable,
     guaranteed PSD and a much smaller XLA graph than `jax.hessian`
     through contact-KKT dynamics (one fused jacfwd over z = [x, u] per
     knot yields dynamics AND residual jacobians in a single batch of
-    forward-mode tangents)."""
+    forward-mode tangents).
+
+    X_init (N+1, nx): optional *state-trajectory* warm start that need NOT
+    be a rollout of U0 -- enables the FDDP multiple-shooting mode (gap
+    handling, see _solve_core), the reference's SolverFDDP.solve(xs, us)
+    semantics (run_motion.py:24-27).  Without it the open-loop rollout of
+    U0 is the start (pure iLQR), which diverges on unstable gaits (e.g.
+    solo12 bound at full step length) where Crocoddyl's xs warm start is
+    what makes the problem solvable."""
     nx = x0.shape[0]
 
     def stage_cost(x, u, k):
@@ -130,18 +138,33 @@ def solve_ilqr_residual(dynamics: Callable, stage_residual: Callable,
         return fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T
 
     return _solve_core(dynamics, stage_cost, terminal_cost, derivatives,
-                       x0, U0, settings)
+                       x0, U0, settings, X_init=X_init)
 
 
 def _solve_core(dynamics: Callable, stage_cost: Callable,
                 terminal_cost: Callable, derivatives: Callable,
                 x0: jnp.ndarray, U0: jnp.ndarray,
-                settings: DdpSettings) -> DdpSolution:
+                settings: DdpSettings,
+                X_init: jnp.ndarray | None = None) -> DdpSolution:
+    """iLQR core; with X_init it becomes FDDP (multiple shooting).
+
+    FDDP mode (Crocoddyl SolverFDDP semantics): the iterate (X, U) may be
+    dynamically infeasible with per-transition gaps
+    d_k = f(x_k, u_k) - x_{k+1}.  The backward pass propagates the value
+    function THROUGH the gaps (vx <- vx + vxx d_k); the forward pass
+    contracts them, x_{k+1} = f(x_hat_k, u_k) - (1-alpha) d_k, so an
+    alpha step leaves gaps scaled by (1-alpha).  Acceptance uses a merit
+    function cost + mu * ||d||_1 (mu fixed from the initial iterate), so
+    gap closure can buy a temporary cost increase -- what makes unstable
+    gaits (bound at full step length) solvable from a kinematic state
+    warm start where a pure-iLQR open-loop rollout is NaN by knot 20.
+    """
     N, nu = U0.shape
     nx = x0.shape[0]
     dtype = x0.dtype
     ks = jnp.arange(N)
     alphas = 2.0 ** (-jnp.arange(settings.n_alphas, dtype=dtype))
+    fddp = X_init is not None
 
     def rollout(U):
         def step(x, inputs):
@@ -155,14 +178,20 @@ def _solve_core(dynamics: Callable, stage_cost: Callable,
         return (jax.vmap(stage_cost)(X[:-1], U, ks).sum()
                 + terminal_cost(X[-1]))
 
-    def backward(derivs, reg):
+    def gaps_of(X, U):
+        return jax.vmap(dynamics)(X[:-1], U, ks) - X[1:]
+
+    def backward(derivs, gaps, reg):
         fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T = derivs
 
         def step(carry, inputs):
             vx, vxx = carry
-            fx_k, fu_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inputs
-            qx = lx_k + fx_k.T @ vx
-            qu = lu_k + fu_k.T @ vx
+            fx_k, fu_k, lx_k, lu_k, lxx_k, luu_k, lux_k, d_k = inputs
+            # FDDP gap term: the value gradient seen across transition k
+            # is evaluated at f(x_k,u_k) = x_{k+1} + d_k
+            vx_g = vx + vxx @ d_k
+            qx = lx_k + fx_k.T @ vx_g
+            qu = lu_k + fu_k.T @ vx_g
             qxx = lxx_k + fx_k.T @ vxx @ fx_k
             quu = luu_k + fu_k.T @ vxx @ fu_k + reg * jnp.eye(nu, dtype=dtype)
             qux = lux_k + fu_k.T @ vxx @ fx_k
@@ -176,19 +205,19 @@ def _solve_core(dynamics: Callable, stage_cost: Callable,
             return (vx_new, vxx_new), (k_ff, k_fb, qu)
 
         (_, _), (k_ff, k_fb, qu) = jax.lax.scan(
-            step, (vx_T, vxx_T), (fx, fu, lx, lu, lxx, luu, lux),
+            step, (vx_T, vxx_T), (fx, fu, lx, lu, lxx, luu, lux, gaps),
             reverse=True)
         grad_norm = jnp.abs(qu).max()
         return k_ff, k_fb, grad_norm
 
-    def forward(X_bar, U_bar, k_ff, k_fb, alpha):
+    def forward(X_bar, U_bar, gaps, k_ff, k_fb, alpha):
         def step(x, inputs):
-            xb, ub, kf, kb, k = inputs
+            xb, ub, kf, kb, d, k = inputs
             u = ub + alpha * kf + kb @ (x - xb)
-            xn = dynamics(x, u, k)
+            xn = dynamics(x, u, k) - (1.0 - alpha) * d
             return xn, (xn, u)
         _, (xs, us) = jax.lax.scan(
-            step, x0, (X_bar[:-1], U_bar, k_ff, k_fb, ks))
+            step, x0, (X_bar[:-1], U_bar, k_ff, k_fb, gaps, ks))
         return jnp.concatenate([x0[None], xs], axis=0), us
 
     class Carry(struct.PyTreeNode):
@@ -196,15 +225,25 @@ def _solve_core(dynamics: Callable, stage_cost: Callable,
         U: jnp.ndarray
         K: jnp.ndarray
         cost: jnp.ndarray
+        gapnorm: jnp.ndarray
         reg: jnp.ndarray
         it: jnp.ndarray
         improved: jnp.ndarray
         done: jnp.ndarray
 
-    X_init = rollout(U0)
-    init = Carry(X=X_init, U=U0,
+    if fddp:
+        X_start = jnp.asarray(X_init, dtype).at[0].set(x0)
+    else:
+        X_start = rollout(U0)
+    cost0 = total_cost(X_start, U0)
+    gap0 = jnp.abs(gaps_of(X_start, U0)).sum() if fddp else jnp.zeros(
+        (), dtype)
+    # merit weight: gap closure worth ~10x the initial cost-per-unit-gap
+    mu = 10.0 * (jnp.abs(cost0) + 1.0) / (gap0 + 1e-9) if fddp else 0.0
+
+    init = Carry(X=X_start, U=U0,
                  K=jnp.zeros((N, nu, nx), dtype),
-                 cost=total_cost(X_init, U0),
+                 cost=cost0, gapnorm=gap0,
                  reg=jnp.asarray(settings.reg_init, dtype),
                  it=jnp.zeros((), jnp.int32),
                  improved=jnp.asarray(True),
@@ -212,23 +251,36 @@ def _solve_core(dynamics: Callable, stage_cost: Callable,
 
     def body(c: Carry):
         derivs = derivatives(c.X, c.U, ks)
-        k_ff, k_fb, grad_norm = backward(derivs, c.reg)
+        gaps = (gaps_of(c.X, c.U) if fddp
+                else jnp.zeros((N, nx), dtype))
+        k_ff, k_fb, grad_norm = backward(derivs, gaps, c.reg)
         # all candidate step sizes roll out in parallel
-        Xs, Us = jax.vmap(lambda a: forward(c.X, c.U, k_ff, k_fb, a))(alphas)
+        Xs, Us = jax.vmap(
+            lambda a: forward(c.X, c.U, gaps, k_ff, k_fb, a))(alphas)
         costs = jax.vmap(total_cost)(Xs, Us)
-        best = jnp.argmin(costs)
-        best_cost = costs[best]
-        improved = best_cost < c.cost - 1e-12
+        costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
+        if fddp:
+            gapnorms = (1.0 - alphas) * c.gapnorm
+            merits = costs + mu * gapnorms
+            merit_cur = c.cost + mu * c.gapnorm
+        else:
+            gapnorms = jnp.zeros_like(costs)
+            merits = costs
+            merit_cur = c.cost
+        best = jnp.argmin(merits)
+        improved = merits[best] < merit_cur - 1e-12
         X_new = jnp.where(improved, Xs[best], c.X)
         U_new = jnp.where(improved, Us[best], c.U)
-        cost_new = jnp.where(improved, best_cost, c.cost)
+        cost_new = jnp.where(improved, costs[best], c.cost)
+        gap_new = jnp.where(improved, gapnorms[best], c.gapnorm)
         reg = jnp.clip(
             jnp.where(improved, c.reg * settings.reg_decrease,
                       c.reg * settings.reg_increase),
             settings.reg_min, settings.reg_max)
-        done = (grad_norm < settings.tol_grad) | (
+        done = ((grad_norm < settings.tol_grad) & (gap_new < 1e-9)) | (
             ~improved & (c.reg >= settings.reg_max))
-        return Carry(X=X_new, U=U_new, K=k_fb, cost=cost_new, reg=reg,
+        return Carry(X=X_new, U=U_new, K=k_fb, cost=cost_new,
+                     gapnorm=gap_new, reg=reg,
                      it=c.it + 1, improved=improved, done=done)
 
     def cond(c: Carry):

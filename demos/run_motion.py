@@ -37,6 +37,11 @@ def main():
                     default="block",
                     help="block = structure-exploiting production solver; "
                          "dense = reference-layout path (slow at N=165)")
+    ap.add_argument("--terrain", choices=["flat", "debris"], default="flat",
+                    help="debris = the reference's per-gait stepstone "
+                         "terrain (GAIT='..._ON_DEBRI', "
+                         "src/simulate_solo.py:217-256): tilted footholds "
+                         "in the plan + stones in the physics plant")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +59,10 @@ def main():
     from centroidal_mpc_tpu.utils.artifacts import ArtifactStore
 
     preset = presets.PRESETS[args.preset]
+    terrain = None
+    if args.terrain == "debris":
+        from centroidal_mpc_tpu.contact import terrain as ter
+        terrain = ter.DEBRIS_BY_GAIT[preset.gait.gait_type]
     store = ArtifactStore(args.out)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
@@ -63,7 +72,7 @@ def main():
                           n_sims=args.sims, dtype=dtype,
                           whole_body_mode=args.whole_body,
                           physics_sims=args.physics_sims,
-                          qp_backend=args.qp_backend)
+                          qp_backend=args.qp_backend, terrain=terrain)
 
     nom = result.nominal
     print(f"[nominal]   success={bool(nom.success)} "
@@ -103,6 +112,18 @@ def main():
     swing = compute_swing_trajectories(prob.plan, preset.dt_ctrl)
     plots.plot_swing_trajectories(swing, preset.robot.foot_names,
                                   preset.dt_ctrl, save_dir=args.out)
+    if "physics_slippage_series" in result.eval_stats:
+        plots.plot_foot_slippage(
+            {"nominal": result.eval_stats["physics_slippage_series"]},
+            preset.dt_ctrl, save_dir=args.out)
+    if result.wb_traj is not None:
+        import numpy as _np
+        plots.plot_whole_body_solution(
+            _np.asarray(result.wb_traj.q), _np.asarray(result.wb_traj.qdot),
+            _np.asarray(result.wb_traj.tau_ff), preset.dt_ctrl,
+            foot_names=preset.robot.foot_names,
+            base_pos=_np.asarray(result.wb_traj.base_pos),
+            save_dir=args.out)
     print(f"[artifacts] written to {args.out}/")
 
 

@@ -34,116 +34,14 @@ def setup():
     return plan, swing, spec, targets
 
 
-# The full solve_whole_body_ddp compiles are run in fresh interpreters:
-# XLA:CPU non-deterministically SIGSEGVs/aborts in backend_compile_and_load
-# on these (large) programs inside the long-lived full-suite process (the
-# crash site wanders between the solo12/bolt/talos DDP tests across runs),
-# while the same compiles succeed standalone every time.  The subprocess
-# runs the numeric assertions in-place and reports a metrics JSON.
-_SOLVE_SCRIPT = """
-import json
-import jax
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-import jax.numpy as jnp
-import numpy as np
-from centroidal_mpc_tpu.config import gaits
-from centroidal_mpc_tpu.config.robots import SOLO12
-from centroidal_mpc_tpu.contact.plan import build_contact_plan
-from centroidal_mpc_tpu.contact.swing import compute_swing_trajectories
-from centroidal_mpc_tpu.models import rigid_body as rb
-from centroidal_mpc_tpu.models import whole_body_ddp as wbd
-from centroidal_mpc_tpu.solver.ddp import DdpSettings
-
-DT, DT_CTRL = 0.01, 0.001
-gait = gaits.GaitSpec(gaits.TROT, step_length=0.06, step_height=0.05,
-                      step_knots=8, support_knots=4, nb_steps=1)
-plan = build_contact_plan(SOLO12, gait, DT, dtype=jnp.float64)
-swing = compute_swing_trajectories(plan, DT_CTRL)
-spec = rb.solo12_spec()
-targets = wbd.build_targets(plan, swing, DT_CTRL, dtype=jnp.float64)
-out = {}
-
-__BODY__
-
-print(json.dumps(out))
-"""
-
-_STAGE1_BODY = """
-sol = wbd.solve_whole_body_ddp(
-    spec, targets, DT, settings=DdpSettings(iterations=40, exact_quu=True))
-mask = np.asarray(targets.contact_mask)[:, :, None]
-err = np.abs(np.asarray(sol.feet[:-1]) - np.asarray(targets.foot_target))
-fz = np.asarray(sol.forces)[..., 2]
-out.update(
-    cost=float(sol.cost),
-    com_final_err=float(jnp.abs(sol.com[-1]
-                                - targets.com_target[-1]).max()),
-    stance_err=float((err * mask).max()),
-    swing_err=float((err * (1 - mask)).max()),
-    fz_min=float(fz.min()), fz_max=float(fz.max()),
-    weight=spec.total_mass * rb.GRAVITY)
-
-# dynamics consistency: solved X is an exact rollout of solved U
-q, v = sol.Q[5], sol.V[5]
-udot, _ = rb.constrained_forward_dynamics(
-    spec, q, v, sol.TAU[5], targets.contact_mask[5], targets.contact_ref[5])
-qn, vn = rb.integrate_step(spec, q, v, udot, DT)
-out["rollout_err"] = max(float(jnp.abs(qn - sol.Q[6]).max()),
-                         float(jnp.abs(vn - sol.V[6]).max()))
-
-# centroidal extraction + 1 kHz interpolation shapes
-Xc = sol.centroidal_states()
-out["xc_shape_ok"] = (Xc.shape == (plan.horizon + 1, 9))
-out["xc_com_err"] = float(jnp.abs(Xc[:, 0:3] - sol.com).max())
-traj = wbd.interpolate_whole_body_solution(sol, DT, DT_CTRL)
-t = plan.horizon * 10
-out["interp_ok"] = (traj["q"].shape == (plan.horizon * 10, spec.nq)
-                    and traj["tau_ff"].shape == (t, spec.n_joints)
-                    and traj["forces"].shape == (t, 12))
-"""
-
-_STAGE3_BODY = """
-n = plan.horizon
-com_x = np.linspace(0.0, 0.03, n + 1)
-Xc = np.zeros((n + 1, 9))
-Xc[:, 0] = com_x
-Xc[:, 2] = 0.22
-Xc[:, 3] = SOLO12.mass * 0.03 / (n * DT)
-logic = np.asarray(plan.schedule.logic)
-Uc = np.zeros((n, 12))
-fz = SOLO12.mass * 9.81 / np.maximum(logic.sum(1), 1.0)
-for c in range(4):
-    Uc[:, 3 * c + 2] = fz * logic[:, c]
-targets = wbd.build_targets(plan, swing, DT_CTRL,
-                            X_centroidal=jnp.asarray(Xc),
-                            U_centroidal=jnp.asarray(Uc),
-                            dtype=jnp.float64)
-out["mom_target_err"] = float(np.abs(np.asarray(targets.mom_target)
-                                     - Xc[:, 3:9]).max())
-sol = wbd.solve_whole_body_ddp(
-    spec, targets, DT, weights=wbd.WholeBodyWeights(force=1e-3),
-    settings=DdpSettings(iterations=40, exact_quu=True))
-com = np.asarray(sol.com)
-out["com_x_err"] = abs(com[-1, 0] - 0.03)
-out["com_z_err"] = float(np.abs(com[:, 2] - 0.22).max())
-"""
-
-
-def _run_isolated(body: str) -> dict:
-    import json
-    import os
-    import subprocess
-    import sys
-    script = _SOLVE_SCRIPT.replace("__BODY__", body)
-    out = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=1800,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    assert out.returncode == 0, out.stderr[-3000:]
-    return json.loads(out.stdout.strip().splitlines()[-1])
-
-
+# Round-1 note: these solves ran in fresh interpreters because XLA:CPU
+# nondeterministically SIGSEGV'd during full-suite runs.  Root cause
+# (established round 2): the crashes tracked the persistent compilation
+# cache's zstd serialize path (same failure signatures as the
+# put_executable_and_time crashes in tests/conftest.py), which is now
+# opt-in-disabled -- with the cache off, repeated in-process solves of
+# these exact programs survive back-to-back runs.  The tests therefore
+# run in-process again (was 13.7 min of interpreter respawns).
 def test_targets_shapes(setup):
     plan, _, _, targets = setup
     n, c = plan.horizon, 4
@@ -202,30 +100,94 @@ def test_warm_start_rollout_stays_upright(setup):
     assert float(base_z.max()) < 0.40
 
 
-def test_ddp_solution_quality_and_invariants():
-    """Stage-1 DDP solve (isolated): tracking quality, physical forces,
+def test_ddp_solution_quality_and_invariants(setup):
+    """Stage-1 DDP solve (in-process): tracking quality, physical forces,
     exact-rollout invariant, centroidal extraction, 1 kHz interpolation."""
-    res = _run_isolated(_STAGE1_BODY)
-    assert res["cost"] < 100.0  # warm-start cost is O(400) on this gait
+    plan, _, spec, targets = setup
+    sol = wbd.solve_whole_body_ddp(
+        spec, targets, DT, settings=DdpSettings(iterations=40,
+                                                exact_quu=True))
+    mask = np.asarray(targets.contact_mask)[:, :, None]
+    err = np.abs(np.asarray(sol.feet[:-1]) - np.asarray(targets.foot_target))
+    fz = np.asarray(sol.forces)[..., 2]
+    assert float(sol.cost) < 100.0  # warm-start cost is O(400) on this gait
     # final CoM near the target (the gait advances ~0.03 m)
-    assert res["com_final_err"] < 0.03
-    assert res["stance_err"] < 0.02       # stance feet pinned
-    assert res["swing_err"] < 0.03        # quintic swing tracking
+    assert float(jnp.abs(sol.com[-1] - targets.com_target[-1]).max()) < 0.03
+    assert float((err * mask).max()) < 0.02       # stance feet pinned
+    assert float((err * (1 - mask)).max()) < 0.03  # quintic swing tracking
     # contact forces are physical: touchdown transients stay bounded
     # (bilateral KKT contacts allow brief pulling; the weight-distribution
     # force regularization keeps it small), fz stays weight-scale
-    assert res["fz_min"] > -10.0
-    assert res["fz_max"] < 2.0 * res["weight"]
+    assert fz.min() > -10.0
+    assert fz.max() < 2.0 * spec.total_mass * rb.GRAVITY
     # the solved X is an exact rollout of the solved U (iLQR invariant)
-    assert res["rollout_err"] < 1e-10
-    assert res["xc_shape_ok"] and res["interp_ok"]
-    assert res["xc_com_err"] == 0.0
+    q, v = sol.Q[5], sol.V[5]
+    udot, _ = rb.constrained_forward_dynamics(
+        spec, q, v, sol.TAU[5], targets.contact_mask[5],
+        targets.contact_ref[5])
+    qn, vn = rb.integrate_step(spec, q, v, udot, DT)
+    assert max(float(jnp.abs(qn - sol.Q[6]).max()),
+               float(jnp.abs(vn - sol.V[6]).max())) < 1e-10
+    # centroidal extraction + 1 kHz interpolation shapes
+    Xc = sol.centroidal_states()
+    assert Xc.shape == (plan.horizon + 1, 9)
+    assert float(jnp.abs(Xc[:, 0:3] - sol.com).max()) == 0.0
+    traj = wbd.interpolate_whole_body_solution(sol, DT, DT_CTRL)
+    t = plan.horizon * 10
+    assert traj["q"].shape == (plan.horizon * 10, spec.nq)
+    assert traj["tau_ff"].shape == (t, spec.n_joints)
+    assert traj["forces"].shape == (t, 12)
 
 
-def test_stage3_tracks_centroidal_solution():
-    """TRACK_CENTROIDAL=True mode (isolated): momentum/force targets come
-    from a centroidal plan and the DDP follows its CoM path."""
-    res = _run_isolated(_STAGE3_BODY)
-    assert res["mom_target_err"] < 1e-12
-    assert res["com_x_err"] < 0.02
-    assert res["com_z_err"] < 0.02
+def test_stage3_tracks_centroidal_solution(setup):
+    """TRACK_CENTROIDAL=True mode (in-process): momentum/force targets
+    come from a centroidal plan and the DDP follows its CoM path."""
+    plan, swing, spec, _ = setup
+    n = plan.horizon
+    com_x = np.linspace(0.0, 0.03, n + 1)
+    Xc = np.zeros((n + 1, 9))
+    Xc[:, 0] = com_x
+    Xc[:, 2] = 0.22
+    Xc[:, 3] = SOLO12.mass * 0.03 / (n * DT)
+    logic = np.asarray(plan.schedule.logic)
+    Uc = np.zeros((n, 12))
+    fz = SOLO12.mass * 9.81 / np.maximum(logic.sum(1), 1.0)
+    for c in range(4):
+        Uc[:, 3 * c + 2] = fz * logic[:, c]
+    targets = wbd.build_targets(plan, swing, DT_CTRL,
+                                X_centroidal=jnp.asarray(Xc),
+                                U_centroidal=jnp.asarray(Uc),
+                                dtype=jnp.float64)
+    assert float(np.abs(np.asarray(targets.mom_target)
+                        - Xc[:, 3:9]).max()) < 1e-12
+    sol = wbd.solve_whole_body_ddp(
+        spec, targets, DT, weights=wbd.WholeBodyWeights(force=1e-3),
+        settings=DdpSettings(iterations=40, exact_quu=True))
+    com = np.asarray(sol.com)
+    assert abs(com[-1, 0] - 0.03) < 0.02
+    assert float(np.abs(com[:, 2] - 0.22).max()) < 0.02
+
+
+def test_fddp_solves_bound_full_step(setup):
+    """FDDP gap handling (solver/ddp.py): the bound gait at the FULL
+    reference step length (0.2 m, conf_solo12_bound.py) -- where the
+    open-loop iLQR warm-start rollout is NaN by mid-horizon -- solves from
+    the kinematic xs warm start, the reference SolverFDDP.solve(xs, us)
+    pattern (run_motion.py:24-27).  Round-1 known gap (PARITY.md)."""
+    _, _, spec, _ = setup
+    gait = gaits.GaitSpec(gaits.BOUND, step_length=0.2, step_height=0.1,
+                          step_knots=15, support_knots=5, nb_steps=1)
+    plan = build_contact_plan(SOLO12, gait, DT, dtype=jnp.float64)
+    swing = compute_swing_trajectories(plan, DT_CTRL)
+    targets = wbd.build_targets(plan, swing, DT_CTRL, dtype=jnp.float64)
+    Xw = wbd.kinematic_state_warm_start(spec, targets)
+    sol = wbd.solve_whole_body_ddp(
+        spec, targets, DT, X_traj=Xw,
+        settings=DdpSettings(iterations=80, exact_quu=True))
+    assert np.isfinite(float(sol.cost))
+    com = np.asarray(sol.com)
+    assert np.all(np.isfinite(com))
+    # the gait advances and the base stays up
+    assert abs(com[-1, 0] - float(targets.com_target[-1, 0])) < 0.05
+    bz = np.asarray(sol.Q)[:, 2]
+    assert bz.min() > 0.10 and bz.max() < 0.45
