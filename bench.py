@@ -85,7 +85,7 @@ def accuracy_tiers(preset, args):
     for eps, polish in tiers:
         qp = QPSettings(eps_abs=eps, eps_rel=eps, max_iter=4000,
                         adaptive_rho=False, sweep_method=args.sweep,
-                        polish=polish)
+                        factor_method=args.factor, polish=polish)
         prob = presets.build_problem(preset, dtype=jnp.float32, qp=qp)
         prob = dataclasses.replace(
             prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend,
@@ -155,6 +155,11 @@ def main():
     ap.add_argument("--latency-probes", type=int, default=200,
                     help="0 disables the latency-distribution measurement")
     ap.add_argument("--sweep", default="scan", choices=["scan", "assoc"])
+    ap.add_argument("--factor", default="pallas",
+                    choices=["cholesky", "thomas", "pallas"],
+                    help="block-tridiagonal factorization backend; "
+                         "'pallas' fuses the blocked Cholesky onto the "
+                         "VPU lanes (~90x the XLA scan, ops/pallas_blockqp)")
     ap.add_argument("--eps", type=float, default=5e-4,
                     help="ADMM eps_abs/eps_rel")
     ap.add_argument("--polish", action="store_true",
@@ -171,7 +176,7 @@ def main():
     qp = QPSettings(eps_abs=args.eps, eps_rel=args.eps, max_iter=4000,
                     adaptive_rho=(args.rho == "always"),
                     adaptive_rho_mode="always", sweep_method=args.sweep,
-                    polish=args.polish)
+                    factor_method=args.factor, polish=args.polish)
     prob = presets.build_problem(presets.PRESETS[args.preset],
                                  stochastic=args.stochastic,
                                  dtype=jnp.float32, qp=qp)

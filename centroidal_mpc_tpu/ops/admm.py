@@ -63,11 +63,15 @@ class QPSettings:
     adaptive_rho_mode: str = "cond"
     eq_rho_scale: float = 1e3
     # Block-solver factorization: 'cholesky' (blocked Cholesky with
-    # pre-inverted factors; backward-stable, the production default) or
-    # 'thomas' (Newton-Schulz Schur-complement inverses, matmul-only --
-    # faster lowering but the inverse error compounds through the knot
-    # recursion and breaks f32 convergence on TPU; CPU-validated,
-    # experimental).  Ignored by the dense solver.
+    # pre-inverted factors, XLA scan; backward-stable, works everywhere),
+    # 'pallas' (same math fused into ops/pallas_blockqp TPU kernels with
+    # the scenario batch on the VPU lanes -- ~90x the XLA factorization
+    # on v5e, the TPU production path; under vmap requires
+    # adaptive_rho_mode='always'; interpret-mode on CPU), or 'thomas'
+    # (Newton-Schulz Schur-complement inverses, matmul-only -- the
+    # inverse error compounds through the knot recursion and breaks f32
+    # convergence on TPU; CPU-validated, experimental).  Ignored by the
+    # dense solver.
     factor_method: str = "cholesky"
     # Block-solver sweep lowering: 'scan' (sequential, throughput default)
     # or 'assoc' (log-depth associative scan; fewer dependent steps for

@@ -40,6 +40,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.custom_batching import custom_vmap
 
 from centroidal_mpc_tpu.contact.plan import ContactSchedule
 from centroidal_mpc_tpu.models.centroidal import (CentroidalModel, N_X,
@@ -400,37 +401,42 @@ def _assemble_blocks(s: _Scaled, r: ZGroups, sigma):
     V = nx + nu + 1
     dtype = s.Ah.dtype
     C = s.Gh.shape[1]
+    eye_nx = jnp.eye(nx, dtype=dtype)
 
+    # All updates below are static-slice adds or eye-masked broadcasts --
+    # advanced-index scatters lower to real scatter ops, which cost ~17%
+    # of the whole batched solve (profile_blockqp2).
     diag = jnp.zeros((N + 1, V, V), dtype)
-    # state cost + sigma
+    diag = diag + sigma * jnp.eye(V, dtype=dtype)
+    # state cost
     diag = diag.at[:, :nx, :nx].add(s.Px)
-    diag = diag.at[:, jnp.arange(V), jnp.arange(V)].add(sigma)
     # control cost (knots < N); dummy identity on knot N's control slot
     diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(s.Pu)
-    diag = diag.at[-1, nx + jnp.arange(nu), nx + jnp.arange(nu)].add(1.0)
-    # init / final rows
-    diag = diag.at[0, jnp.arange(nx), jnp.arange(nx)].add(r.init * s.d0**2)
-    diag = diag.at[-1, jnp.arange(nx), jnp.arange(nx)].add(r.final * s.dN**2)
+    diag = diag.at[-1, nx:nx + nu, nx:nx + nu].add(jnp.eye(nu, dtype=dtype))
+    # init / final rows (diagonal embeddings)
+    diag = diag.at[0, :nx, :nx].add((r.init * s.d0**2)[:, None] * eye_nx)
+    diag = diag.at[-1, :nx, :nx].add((r.final * s.dN**2)[:, None] * eye_nx)
     # dynamics rows k: (A B) ' rho (A B) on knot k, I'rho I on knot k+1
     diag = diag.at[:-1, :nx, :nx].add(
         jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Ah, s.Ah))
-    diag = diag.at[:-1, :nx, nx:nx + nu].add(
-        jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Ah, s.Bh))
-    diag = diag.at[:-1, nx:nx + nu, :nx].add(
-        jnp.einsum("ki,kij,kil->klj", r.dyn, s.Ah, s.Bh))
+    rAB = jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Ah, s.Bh)
+    diag = diag.at[:-1, :nx, nx:nx + nu].add(rAB)
+    diag = diag.at[:-1, nx:nx + nu, :nx].add(rAB.swapaxes(1, 2))
     diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(
         jnp.einsum("ki,kij,kil->kjl", r.dyn, s.Bh, s.Bh))
-    diag = diag.at[1:, jnp.arange(nx), jnp.arange(nx)].add(r.dyn * s.Ih**2)
-    # friction + CoP rows: per-contact nuc x nuc blocks on the contact's
-    # control columns
+    diag = diag.at[1:, :nx, :nx].add(
+        (r.dyn * s.Ih**2)[:, :, None] * eye_nx[None])
+    # friction + CoP rows: per-contact nuc x nuc blocks, embedded as a
+    # block-diagonal (N, nu, nu) via a contact-identity mask
     nuc = s.Gh.shape[3]
     gtg = jnp.einsum("kcr,kcrj,kcrl->kcjl", r.fric, s.Gh, s.Gh)
     cop_sq = r.cop * s.coph**2                                 # (N, C, 2)
-    gtg = gtg.at[:, :, jnp.arange(2), jnp.arange(2)].add(cop_sq)
-    ci = nx + jnp.arange(C)[:, None] * nuc + jnp.arange(nuc)[None, :]
-    rows = ci[None, :, :, None] + jnp.zeros((1, 1, 1, nuc), jnp.int32)
-    cols = ci[None, :, None, :] + jnp.zeros((1, 1, nuc, 1), jnp.int32)
-    diag = diag.at[jnp.arange(N)[:, None, None, None], rows, cols].add(gtg)
+    cop_full = jnp.zeros((N, C, nuc), dtype).at[:, :, :2].set(cop_sq)
+    gtg = gtg + cop_full[..., None] * jnp.eye(nuc, dtype=dtype)  # on [d,d]
+    blk = (gtg[:, :, :, None, :]
+           * jnp.eye(C, dtype=dtype)[None, :, None, :, None])
+    diag = diag.at[:-1, nx:nx + nu, nx:nx + nu].add(
+        blk.reshape(N, nu, nu))
     # trust rows: on (ang, t)
     diag = diag.at[:, 6:9, 6:9].add(
         jnp.einsum("kp,kpj,kpl->kjl", r.trust, s.Th, s.Th))
@@ -597,6 +603,63 @@ def _block_tridiag_solve(f: _TridiagFactor, b, sweep_method: str = "scan"):
     return jnp.concatenate([wss, d[-1:]], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Pallas-accelerated factorization/backsolve (factor_method="pallas").
+#
+# The public functions keep the per-scenario (unbatched) signature so
+# `solve_block_qp` stays a plain function that vmaps over scenarios; the
+# custom_vmap rules collapse the whole vmap axis onto the TPU lane
+# dimension and run the ops/pallas_blockqp kernels on the full batch
+# (profile: the XLA blocked-Cholesky scan is ~45% of the batched solve).
+#
+# Contract: the batched rules declare their factor output UNBATCHED even
+# though it depends on batched inputs -- the kernel-major factor carries
+# the batch on its own trailing axis, invisible to vmap.  This is safe
+# only because the factor pytree is consumed exclusively by
+# `pallas_backsolve` (whose rule compensates); never mix it into other
+# batched math.  Requires adaptive_rho_mode="always" under vmap (the
+# "cond" path would select between factor pytrees per scenario).
+# ---------------------------------------------------------------------------
+
+
+@custom_vmap
+def pallas_factorize(diag, off):
+    # unbatched call: run the kernel on a batch of one (custom_vmap
+    # requires the primal and the batched rule to return the same pytree
+    # structure, so both paths produce the kernel-major factor)
+    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
+    return pbq.factor_batched(diag[None], off[None])
+
+
+@pallas_factorize.def_vmap
+def _pallas_factorize_vmap(axis_size, in_batched, diag, off):
+    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
+    db, ob = in_batched
+    if not (db and ob):  # pragma: no cover - solver always batches both
+        diag = diag if db else jnp.broadcast_to(diag, (axis_size,) + diag.shape)
+        off = off if ob else jnp.broadcast_to(off, (axis_size,) + off.shape)
+    assert diag.ndim == 4, "nested vmap over pallas_factorize unsupported"
+    fac = pbq.factor_batched(diag, off)
+    return fac, jax.tree.map(lambda _: False, fac)
+
+
+@custom_vmap
+def pallas_backsolve(fac, b):
+    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
+    return pbq.solve_batched(fac, b[None])[0]
+
+
+@pallas_backsolve.def_vmap
+def _pallas_backsolve_vmap(axis_size, in_batched, fac, b):
+    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
+    fac_b, b_b = in_batched
+    assert not any(jax.tree.leaves(fac_b)), (
+        "pallas_backsolve expects the kernel-major factor (unbatched "
+        "leaves) produced by pallas_factorize under vmap")
+    assert b_b, "rhs must be batched"
+    return pbq.solve_batched(fac, b), True
+
+
 def _pack(w: WVars, nx, nu) -> jnp.ndarray:
     n = w.u.shape[0]
     W = jnp.zeros((n + 1, nx + nu + 1), w.x.dtype)
@@ -713,6 +776,8 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
 
     if settings.factor_method == "thomas":
         factorize, backsolve = _block_tridiag_thomas, _block_thomas_solve
+    elif settings.factor_method == "pallas":
+        factorize, backsolve = pallas_factorize, pallas_backsolve
     else:
         factorize = _block_tridiag_cholesky
         backsolve = lambda fac, b: _block_tridiag_solve(
@@ -759,51 +824,91 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
             y, rho_g, z_rel, z_new)))
         return w_new, z_new, y_new, rho_g, fac
 
-    def segment(carry):
-        w, z, y, rho, rho_g, fac, it, _, _, _ = carry
-        w, z, y, rho_g, fac = jax.lax.fori_loop(
-            0, settings.check_interval, admm_iter, (w, z, y, rho_g, fac))
-        it = it + settings.check_interval
+    def rho_ratio(prim, dual, prim_scale, dual_scale):
+        return jnp.sqrt(
+            (prim / jnp.maximum(prim_scale, 1e-30))
+            / jnp.maximum(dual / jnp.maximum(dual_scale, 1e-30), 1e-30))
 
-        (prim, dual, eps_prim, eps_dual,
-         prim_scale, dual_scale) = _residuals(s, settings, w, z, y)
-        done = (prim < eps_prim) & (dual < eps_dual)
+    cond_mode = settings.adaptive_rho and settings.adaptive_rho_mode != "always"
+    if cond_mode:
+        # 'cond' adaptation must carry the factorization across segments
+        # (it refactors only when the ratio leaves the deadband).  NOTE:
+        # incompatible with factor_method='pallas' under vmap -- a
+        # batched while_loop selects every carry leaf per scenario, which
+        # cannot be applied to the kernel-major (batch-on-lanes) factor.
+        def segment(carry):
+            w, z, y, rho, rho_g, fac, it, _, _, _ = carry
+            w, z, y, rho_g, fac = jax.lax.fori_loop(
+                0, settings.check_interval, admm_iter, (w, z, y, rho_g, fac))
+            it = it + settings.check_interval
 
-        if settings.adaptive_rho:
-            ratio = jnp.sqrt(
-                (prim / jnp.maximum(prim_scale, 1e-30))
-                / jnp.maximum(dual / jnp.maximum(dual_scale, 1e-30), 1e-30))
+            (prim, dual, eps_prim, eps_dual,
+             prim_scale, dual_scale) = _residuals(s, settings, w, z, y)
+            done = (prim < eps_prim) & (dual < eps_dual)
+
+            ratio = rho_ratio(prim, dual, prim_scale, dual_scale)
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
             trigger = ((ratio > settings.adaptive_rho_tol)
                        | (ratio < 1.0 / settings.adaptive_rho_tol)) & ~done
 
-            if settings.adaptive_rho_mode == "always":
-                # vmap-friendly: unconditional (batched) refactor with the
-                # deadbanded rho -- scenarios inside the deadband refactor
-                # with their unchanged rho (same iterates, wasted FLOPs),
-                # so no cond and no double-branch execution under vmap
-                rho = jnp.where(trigger, new_rho, rho)
-                rho_g = _rho_groups(settings, rho, s)
-                fac = factor(rho)
+            def refactor(_):
+                return (new_rho, _rho_groups(settings, new_rho, s),
+                        factor(new_rho))
+
+            rho, rho_g, fac = jax.lax.cond(
+                trigger, refactor, lambda _: (rho, rho_g, fac), None)
+            return w, z, y, rho, rho_g, fac, it, prim, dual, done
+
+        def loop_cond(carry):
+            *_, it, _, _, done = carry
+            return (~done) & (it < n_segments * settings.check_interval)
+
+        init = (w, z, y, rho0, rho_g, fac,
+                jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
+        w, z, y, _, _, _, it, prim, dual, done = jax.lax.while_loop(
+            loop_cond, segment, init)
+    else:
+        # Fixed rho, or 'always' adaptation: the factorization is a pure
+        # function of the carried rho scalar (or a closure constant), so
+        # it stays OUT of the while_loop carry.  This keeps the batched
+        # while_loop's per-scenario carry select away from the factor
+        # pytree -- required for factor_method='pallas' under vmap, and
+        # equivalent for the XLA backends (same factor count: 'always'
+        # refactors once per segment either way).
+        def segment(carry):
+            w, z, y, rho, it, _, _, _ = carry
+            if settings.adaptive_rho:
+                rho_seg = _rho_groups(settings, rho, s)
+                fac_seg = factor(rho)
             else:
-                def refactor(_):
-                    return (new_rho, _rho_groups(settings, new_rho, s),
-                            factor(new_rho))
+                rho_seg, fac_seg = rho_g, fac
+            w, z, y, _, _ = jax.lax.fori_loop(
+                0, settings.check_interval, admm_iter,
+                (w, z, y, rho_seg, fac_seg))
+            it = it + settings.check_interval
 
-                rho, rho_g, fac = jax.lax.cond(
-                    trigger, refactor, lambda _: (rho, rho_g, fac), None)
+            (prim, dual, eps_prim, eps_dual,
+             prim_scale, dual_scale) = _residuals(s, settings, w, z, y)
+            done = (prim < eps_prim) & (dual < eps_dual)
 
-        return w, z, y, rho, rho_g, fac, it, prim, dual, done
+            if settings.adaptive_rho:
+                ratio = rho_ratio(prim, dual, prim_scale, dual_scale)
+                new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
+                trigger = ((ratio > settings.adaptive_rho_tol)
+                           | (ratio < 1.0 / settings.adaptive_rho_tol)) & ~done
+                rho = jnp.where(trigger, new_rho, rho)
+            return w, z, y, rho, it, prim, dual, done
 
-    def cond(carry):
-        *_, it, _, _, done = carry
-        return (~done) & (it < n_segments * settings.check_interval)
+        def loop_cond(carry):
+            *_, it, _, _, done = carry
+            return (~done) & (it < n_segments * settings.check_interval)
 
-    init = (w, z, y, rho0, rho_g, fac,
-            jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
-    w, z, y, _, _, _, it, prim, dual, done = jax.lax.while_loop(
-        cond, segment, init)
+        init = (w, z, y, rho0,
+                jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
+        w, z, y, _, it, prim, dual, done = jax.lax.while_loop(
+            loop_cond, segment, init)
 
     if settings.polish:
         w_p, z_p, y_p = _polish(s, settings, sigma, factorize, backsolve,
