@@ -35,6 +35,7 @@ feasibility slack; the unilateral pyramid row stays empty unless
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -603,63 +604,6 @@ def _block_tridiag_solve(f: _TridiagFactor, b, sweep_method: str = "scan"):
     return jnp.concatenate([wss, d[-1:]], axis=0)
 
 
-# ---------------------------------------------------------------------------
-# Pallas-accelerated factorization/backsolve (factor_method="pallas").
-#
-# The public functions keep the per-scenario (unbatched) signature so
-# `solve_block_qp` stays a plain function that vmaps over scenarios; the
-# custom_vmap rules collapse the whole vmap axis onto the TPU lane
-# dimension and run the ops/pallas_blockqp kernels on the full batch
-# (profile: the XLA blocked-Cholesky scan is ~45% of the batched solve).
-#
-# Contract: the batched rules declare their factor output UNBATCHED even
-# though it depends on batched inputs -- the kernel-major factor carries
-# the batch on its own trailing axis, invisible to vmap.  This is safe
-# only because the factor pytree is consumed exclusively by
-# `pallas_backsolve` (whose rule compensates); never mix it into other
-# batched math.  Requires adaptive_rho_mode="always" under vmap (the
-# "cond" path would select between factor pytrees per scenario).
-# ---------------------------------------------------------------------------
-
-
-@custom_vmap
-def pallas_factorize(diag, off):
-    # unbatched call: run the kernel on a batch of one (custom_vmap
-    # requires the primal and the batched rule to return the same pytree
-    # structure, so both paths produce the kernel-major factor)
-    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
-    return pbq.factor_batched(diag[None], off[None])
-
-
-@pallas_factorize.def_vmap
-def _pallas_factorize_vmap(axis_size, in_batched, diag, off):
-    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
-    db, ob = in_batched
-    if not (db and ob):  # pragma: no cover - solver always batches both
-        diag = diag if db else jnp.broadcast_to(diag, (axis_size,) + diag.shape)
-        off = off if ob else jnp.broadcast_to(off, (axis_size,) + off.shape)
-    assert diag.ndim == 4, "nested vmap over pallas_factorize unsupported"
-    fac = pbq.factor_batched(diag, off)
-    return fac, jax.tree.map(lambda _: False, fac)
-
-
-@custom_vmap
-def pallas_backsolve(fac, b):
-    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
-    return pbq.solve_batched(fac, b[None])[0]
-
-
-@pallas_backsolve.def_vmap
-def _pallas_backsolve_vmap(axis_size, in_batched, fac, b):
-    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
-    fac_b, b_b = in_batched
-    assert not any(jax.tree.leaves(fac_b)), (
-        "pallas_backsolve expects the kernel-major factor (unbatched "
-        "leaves) produced by pallas_factorize under vmap")
-    assert b_b, "rhs must be batched"
-    return pbq.solve_batched(fac, b), True
-
-
 def _pack(w: WVars, nx, nu) -> jnp.ndarray:
     n = w.u.shape[0]
     W = jnp.zeros((n + 1, nx + nu + 1), w.x.dtype)
@@ -697,7 +641,9 @@ def _residuals(s: _Scaled, settings: QPSettings, w: WVars, z: ZGroups,
 
 
 def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
-            w: WVars, y: ZGroups, nx: int, nu: int):
+            w: WVars, y: ZGroups, nx: int, nu: int,
+            applyA=None, applyAT=None, assemble=None,
+            pack=None, unpack=None):
     """OSQP-style solution polish as augmented-Lagrangian refinement.
 
     The reference runs OSQP with polish=on (src/scp_solver.py:62): after
@@ -712,8 +658,18 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
     whichever of (ADMM, polished) is better, matching OSQP's
     accept-if-improves semantics.  Fixed shapes and no conds: safe under
     vmap/shard_map.
+
+    The elementwise ZGroups math is shape-polymorphic; the structural
+    operators (A application, block assembly, pack/unpack) default to
+    the per-scenario implementations and can be passed in lifted
+    (vmapped) form for the batch-first kernel loop (_admm_loop_batched).
     """
-    z = _apply_A(s, w)
+    applyA = applyA or _apply_A
+    applyAT = applyAT or _apply_AT
+    assemble = assemble or _assemble_blocks
+    pack = pack or (lambda ww: _pack(ww, nx, nu))
+    unpack = unpack or (lambda W: _unpack(W, nx, nu))
+    z = applyA(s, w)
     atol = settings.polish_active_tol
     ytol = 1e-12
 
@@ -734,7 +690,7 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
 
     beta = jnp.asarray(settings.polish_rho, z.dyn.dtype)
     rho_p = ZGroups(*(m.astype(z.dyn.dtype) * beta for m in mask))
-    diag, off = _assemble_blocks(s, rho_p, sigma)
+    diag, off = assemble(s, rho_p, sigma)
     fac_p = factorize(diag, off)
 
     y_p = ZGroups(*(jnp.where(m, yy, 0.0) for m, yy in zip(mask, y)))
@@ -743,14 +699,192 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
         rb_y = ZGroups(*(rr * bb - yy for rr, bb, yy in
                          zip(rho_p, b_a, y_p)))
         rhs = _wmap(lambda ww, at, qq: sigma * ww + at - qq,
-                    w_p, _apply_AT(s, rb_y), s.q)
-        w_p = _unpack(backsolve(fac_p, _pack(rhs, nx, nu)), nx, nu)
-        Aw = _apply_A(s, w_p)
+                    w_p, applyAT(s, rb_y), s.q)
+        w_p = unpack(backsolve(fac_p, pack(rhs)))
+        Aw = applyA(s, w_p)
         y_p = ZGroups(*(yy + rr * (aa - bb) for yy, rr, aa, bb in
                         zip(y_p, rho_p, Aw, b_a)))
     z_p = ZGroups(*(jnp.clip(aa, lo, hi) for aa, lo, hi in
-                    zip(_apply_A(s, w_p), s.l, s.u)))
+                    zip(applyA(s, w_p), s.l, s.u)))
     return w_p, z_p, y_p
+
+
+# ---------------------------------------------------------------------------
+# Batch-first ADMM loop for factor_method="pallas".
+#
+# Profile (benchmarks/profile_blockqp2.py, TPU v5e): the vmapped XLA
+# blocked-Cholesky factorization was ~45% of the batched solve.  The
+# ops/pallas_blockqp kernels need the WHOLE scenario batch at once (it
+# rides the VPU lane axis), which a per-scenario function under vmap
+# cannot express: a kernel-major factor smuggled across a custom_vmap
+# boundary as an "unbatched" output gets pinned to the primal's aval
+# (its lane count), breaking for batches > 128.  So the custom_vmap
+# boundary sits around the ENTIRE fixed/'always'-rho ADMM loop: the
+# batched rule below is written batch-first (per-scenario helpers
+# lifted with jax.vmap, termination scalars shaped (B,), converged
+# scenarios frozen by masking -- the same semantics vmap gives the
+# XLA loop), and the factorization never crosses a vmap boundary.
+# ---------------------------------------------------------------------------
+
+# Below this batch size the XLA scan path beats the lane-padded kernels
+# (the kernels pad every batch to 128 lanes, so their cost is flat in B;
+# the XLA path is latency-bound but cheap at small B -- measured
+# single-solve SCP latency ~5 ms XLA vs ~9 ms kernels on v5e).
+PALLAS_MIN_BATCH = 32
+
+
+def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
+                       settings: QPSettings, nx: int, nu: int):
+    """Fixed/'always'-rho ADMM loop (+ optional polish), leading batch
+    axis on every leaf of s/w/y.  Returns (w, z, y, it, prim, dual,
+    done) with (B,)-shaped termination state."""
+    from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
+    B = s.sh.shape[0]
+    dtype = s.sh.dtype
+    sigma = settings.sigma
+    alpha = settings.alpha
+    n_segments = -(-settings.max_iter // settings.check_interval)
+    use_kernels = B >= PALLAS_MIN_BATCH
+
+    vA = jax.vmap(_apply_A)
+    vAT = jax.vmap(_apply_AT)
+    vpack = jax.vmap(lambda ww: _pack(ww, nx, nu))
+    vunpack = jax.vmap(lambda W: _unpack(W, nx, nu))
+    vres = jax.vmap(
+        lambda s_, w_, z_, y_: _residuals(s_, settings, w_, z_, y_))
+    vasm = jax.vmap(lambda s_, r_: _assemble_blocks(s_, r_, sigma))
+    vrho = jax.vmap(lambda s_, r_: _rho_groups(settings, r_, s_))
+
+    if use_kernels:
+        factorize = pbq.factor_batched
+        backsolve = pbq.solve_batched
+    else:
+        factorize = jax.vmap(_block_tridiag_cholesky)
+        backsolve = jax.vmap(lambda f, r: _block_tridiag_solve(
+            f, r, settings.sweep_method))
+
+    def factor(rho_b):
+        rho_g = vrho(s, rho_b)
+        diag, off = vasm(s, rho_g)
+        return rho_g, factorize(diag, off)
+
+    rho0 = jnp.full((B,), settings.rho, dtype)
+    if not settings.adaptive_rho:
+        rho_g0, fac0 = factor(rho0)
+
+    z = vA(s, w)
+
+    def bc(flag, like):
+        return flag.reshape((B,) + (1,) * (like.ndim - 1))
+
+    def segment(carry):
+        w, z, y, rho_b, it_b, prim_b, dual_b, done_b = carry
+        if settings.adaptive_rho:
+            rho_g, fac = factor(rho_b)
+        else:
+            rho_g, fac = rho_g0, fac0
+
+        def admm_iter(_, st):
+            w, z, y = st
+            rz_y = ZGroups(*(rr * zz - yy
+                             for zz, yy, rr in zip(z, y, rho_g)))
+            rhs = _wmap(lambda ww, at, qq: sigma * ww + at - qq,
+                        w, vAT(s, rz_y), s.q)
+            w_t = vunpack(backsolve(fac, vpack(rhs)))
+            z_t = vA(s, w_t)
+            w_new = _wmap(lambda wt, ww: alpha * wt + (1 - alpha) * ww,
+                          w_t, w)
+            z_rel = _zmap(lambda zt, zz: alpha * zt + (1 - alpha) * zz,
+                          z_t, z)
+            z_new = ZGroups(*(jnp.clip(zr + yy / rr, lo, hi)
+                              for zr, yy, rr, lo, hi in
+                              zip(z_rel, y, rho_g, s.l, s.u)))
+            y_new = ZGroups(*(yy + rr * (zr - zn) for yy, rr, zr, zn in
+                              zip(y, rho_g, z_rel, z_new)))
+            return w_new, z_new, y_new
+
+        w2, z2, y2 = jax.lax.fori_loop(0, settings.check_interval,
+                                       admm_iter, (w, z, y))
+
+        (prim, dual, eps_prim, eps_dual,
+         prim_scale, dual_scale) = vres(s, w2, z2, y2)
+        done_new = (prim < eps_prim) & (dual < eps_dual)
+
+        rho_next = rho_b
+        if settings.adaptive_rho:
+            ratio = jnp.sqrt(
+                (prim / jnp.maximum(prim_scale, 1e-30))
+                / jnp.maximum(dual / jnp.maximum(dual_scale, 1e-30),
+                              1e-30))
+            new_rho = jnp.clip(rho_b * ratio, 1e-6, 1e6)
+            trigger = ((ratio > settings.adaptive_rho_tol)
+                       | (ratio < 1.0 / settings.adaptive_rho_tol)
+                       ) & ~done_new
+            rho_next = jnp.where(trigger, new_rho, rho_b)
+
+        # freeze scenarios that were already done at segment entry (the
+        # semantics a batched while_loop gives the per-scenario loop)
+        keep = lambda new, old: jnp.where(bc(done_b, new), old, new)
+        w3 = _wmap(keep, w2, w)
+        z3 = _zmap(keep, z2, z)
+        y3 = _zmap(keep, y2, y)
+        return (w3, z3, y3,
+                jnp.where(done_b, rho_b, rho_next),
+                jnp.where(done_b, it_b, it_b + settings.check_interval),
+                jnp.where(done_b, prim_b, prim),
+                jnp.where(done_b, dual_b, dual),
+                done_b | done_new)
+
+    def loop_cond(carry):
+        *_, it_b, _, _, done_b = carry
+        return jnp.any(~done_b
+                       & (it_b < n_segments * settings.check_interval))
+
+    init = (w, z, y, rho0,
+            jnp.zeros((B,), jnp.int32), jnp.full((B,), jnp.inf, dtype),
+            jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), bool))
+    w, z, y, _, it, prim, dual, done = jax.lax.while_loop(
+        loop_cond, segment, init)
+
+    if settings.polish:
+        w_p, z_p, y_p = _polish(
+            s, settings, sigma, factorize, backsolve, w, y, nx, nu,
+            applyA=vA, applyAT=vAT, assemble=vasm, pack=vpack,
+            unpack=vunpack)
+        (prim_p, dual_p, eps_prim_p, eps_dual_p,
+         _, _) = vres(s, w_p, z_p, y_p)
+        better = (prim_p < prim) & (dual_p < dual)
+        pick = lambda a, b: jnp.where(bc(better, a), a, b)
+        w = _wmap(pick, w_p, w)
+        z = _zmap(pick, z_p, z)
+        y = _zmap(pick, y_p, y)
+        prim = jnp.where(better, prim_p, prim)
+        dual = jnp.where(better, dual_p, dual)
+        done = done | (better & (prim_p < eps_prim_p)
+                       & (dual_p < eps_dual_p))
+
+    return w, z, y, it, prim, dual, done
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_admm_op(settings: QPSettings, nx: int, nu: int):
+    """custom_vmap'd whole-loop op: per-scenario signature, batch-first
+    rule.  Cached per (settings, dims) so repeated traces reuse it."""
+
+    @custom_vmap
+    def op(s, w, y):
+        sb, wb, yb = jax.tree.map(lambda a: a[None], (s, w, y))
+        out = _admm_loop_batched(sb, wb, yb, settings, nx, nu)
+        return jax.tree.map(lambda a: a[0], out)
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, s, w, y):
+        assert all(jax.tree.leaves(in_batched)), (
+            "pallas ADMM op expects fully batched inputs under vmap")
+        out = _admm_loop_batched(s, w, y, settings, nx, nu)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return op
 
 
 class BlockQPSolution(struct.PyTreeNode):
@@ -774,11 +908,16 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
     sigma = jnp.asarray(settings.sigma, dtype)
     n_segments = -(-settings.max_iter // settings.check_interval)
 
+    cond_mode = (settings.adaptive_rho
+                 and settings.adaptive_rho_mode != "always")
+    pallas_loop = settings.factor_method == "pallas" and not cond_mode
+
     if settings.factor_method == "thomas":
         factorize, backsolve = _block_tridiag_thomas, _block_thomas_solve
-    elif settings.factor_method == "pallas":
-        factorize, backsolve = pallas_factorize, pallas_backsolve
     else:
+        # 'cholesky', and the per-scenario fallback for
+        # factor_method='pallas' in the 'cond' adaptive mode (whose
+        # carried factorization cannot ride the batch-first kernels)
         factorize = _block_tridiag_cholesky
         backsolve = lambda fac, b: _block_tridiag_solve(
             fac, b, settings.sweep_method)
@@ -789,8 +928,9 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
         return factorize(diag, off)
 
     rho0 = jnp.asarray(settings.rho, dtype)
-    fac = factor(rho0)
-    rho_g = _rho_groups(settings, rho0, s)
+    if not pallas_loop:
+        fac = factor(rho0)
+        rho_g = _rho_groups(settings, rho0, s)
 
     if w0 is None:
         w = WVars(x=jnp.zeros((N + 1, nx), dtype),
@@ -829,8 +969,12 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
             (prim / jnp.maximum(prim_scale, 1e-30))
             / jnp.maximum(dual / jnp.maximum(dual_scale, 1e-30), 1e-30))
 
-    cond_mode = settings.adaptive_rho and settings.adaptive_rho_mode != "always"
-    if cond_mode:
+    if pallas_loop:
+        # whole-loop custom_vmap op: batch-first kernels under vmap,
+        # XLA batch-of-one otherwise; polish runs inside the op
+        w, z, y, it, prim, dual, done = _pallas_admm_op(
+            settings, nx, nu)(s, w, y)
+    elif cond_mode:
         # 'cond' adaptation must carry the factorization across segments
         # (it refactors only when the ratio leaves the deadband).  NOTE:
         # incompatible with factor_method='pallas' under vmap -- a
@@ -910,7 +1054,7 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
         w, z, y, _, it, prim, dual, done = jax.lax.while_loop(
             loop_cond, segment, init)
 
-    if settings.polish:
+    if settings.polish and not pallas_loop:
         w_p, z_p, y_p = _polish(s, settings, sigma, factorize, backsolve,
                                 w, y, nx, nu)
         (prim_p, dual_p, eps_prim_p, eps_dual_p,

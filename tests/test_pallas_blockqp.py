@@ -63,35 +63,20 @@ def test_solve_is_actual_inverse():
                                rtol=1e-8, atol=1e-8)
 
 
-def test_custom_vmap_wrappers_dispatch_to_kernels():
-    """vmapped pallas_factorize/backsolve == vmapped XLA path."""
-    key = jax.random.PRNGKey(2)
-    b, n, v = 5, 4, 22
-    diag, off, rhs = _random_block_tridiag(key, b, n, v)
-
-    def solve_one(d, o, r):
-        fac = blockqp.pallas_factorize(d, o)
-        return blockqp.pallas_backsolve(fac, r)
-
-    out = jax.vmap(solve_one)(diag, off, rhs)
+def test_factor_batched_large_batch_padding():
+    """Batch sizes above one lane tile (128) pad to the next multiple --
+    the regression that killed the per-call custom_vmap design."""
+    key = jax.random.PRNGKey(3)
+    diag, off, rhs = _random_block_tridiag(key, 130, 3, 9,
+                                           dtype=jnp.float32)
+    fac = pbq.factor_batched(diag, off, interpret=True)
+    assert fac.Cinv.shape[-1] == 256
+    out = pbq.solve_batched(fac, rhs, interpret=True)
     ref_fac = jax.vmap(blockqp._block_tridiag_cholesky)(diag, off)
     ref = jax.vmap(lambda f, r: blockqp._block_tridiag_solve(f, r))(
         ref_fac, rhs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-9, atol=1e-9)
-
-
-def test_unbatched_wrappers_batch_of_one():
-    key = jax.random.PRNGKey(3)
-    diag, off, rhs = _random_block_tridiag(key, 1, 5, 9)
-    diag, off, rhs = diag[0], off[0], rhs[0]
-    fac = blockqp.pallas_factorize(diag, off)
-    assert isinstance(fac, pbq.KmTridiagFactor)
-    out = blockqp.pallas_backsolve(fac, rhs)
-    ref = blockqp._block_tridiag_solve(
-        blockqp._block_tridiag_cholesky(diag, off), rhs)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-9, atol=1e-9)
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_solve_block_qp_pallas_backend_parity():
@@ -128,15 +113,63 @@ def test_solve_block_qp_pallas_backend_parity():
         w0 = blockqp.WVars(x=x, u=u, t=jnp.zeros(x.shape[0], x.dtype))
         return blockqp.solve_block_qp(qp, st, w0=w0)
 
-    sol_p = jax.vmap(lambda x, u: solve(x, u, "pallas"))(X0, U0)
     sol_c = jax.vmap(lambda x, u: solve(x, u, "cholesky"))(X0, U0)
+    # B=2 < PALLAS_MIN_BATCH exercises the batch-first op with its
+    # vmapped-XLA fallback; forcing the threshold to 1 exercises the
+    # actual kernels (interpret mode on CPU) inside the op
+    for min_batch in (blockqp.PALLAS_MIN_BATCH, 1):
+        old = blockqp.PALLAS_MIN_BATCH
+        blockqp.PALLAS_MIN_BATCH = min_batch
+        blockqp._pallas_admm_op.cache_clear()
+        try:
+            sol_p = jax.vmap(lambda x, u: solve(x, u, "pallas"))(X0, U0)
+        finally:
+            blockqp.PALLAS_MIN_BATCH = old
+            blockqp._pallas_admm_op.cache_clear()
+        np.testing.assert_array_equal(np.asarray(sol_p.iterations),
+                                      np.asarray(sol_c.iterations))
+        np.testing.assert_allclose(np.asarray(sol_p.prim_res),
+                                   np.asarray(sol_c.prim_res), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sol_p.dual_res),
+                                   np.asarray(sol_c.dual_res), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sol_p.X), np.asarray(sol_c.X),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sol_p.U), np.asarray(sol_c.U),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_solve_block_qp_pallas_unbatched_matches():
+    """Single-scenario (no vmap) pallas path: the op's primal runs the
+    loop on a batch of one and matches the cholesky backend."""
+    from centroidal_mpc_tpu.config import presets
+    from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
+
+    preset = dataclasses.replace(
+        presets.SOLO12_TROT_N50,
+        gait=dataclasses.replace(presets.SOLO12_TROT_N50.gait,
+                                 step_knots=4, support_knots=2, nb_steps=1))
+    prob = presets.build_problem(preset, dtype=jnp.float64)
+
+    def solve(method):
+        data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                       prob.X0, prob.U0,
+                                       with_covariance=False)
+        qp = blockqp.build_block_qp(
+            prob.model, prob.plan.schedule, prob.ocp, prob.X0, prob.U0,
+            data, jnp.asarray(100.0, jnp.float64),
+            jnp.asarray(100.0, jnp.float64))
+        st = QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=300,
+                        adaptive_rho=False, factor_method=method,
+                        polish=True)
+        w0 = blockqp.WVars(x=prob.X0, u=prob.U0,
+                           t=jnp.zeros(prob.X0.shape[0], jnp.float64))
+        return blockqp.solve_block_qp(qp, st, w0=w0)
+
+    sol_p = solve("pallas")
+    sol_c = solve("cholesky")
     np.testing.assert_array_equal(np.asarray(sol_p.iterations),
                                   np.asarray(sol_c.iterations))
-    np.testing.assert_allclose(np.asarray(sol_p.prim_res),
-                               np.asarray(sol_c.prim_res), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(sol_p.dual_res),
-                               np.asarray(sol_c.dual_res), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(sol_p.X), np.asarray(sol_c.X),
-                               rtol=1e-7, atol=1e-7)
+                               rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sol_p.U), np.asarray(sol_c.U),
-                               rtol=1e-7, atol=1e-7)
+                               rtol=1e-6, atol=1e-6)
