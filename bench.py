@@ -59,8 +59,12 @@ def per_call_time(solve_fn, inputs, k=10, trials=3):
                 lambda a: jax.lax.dynamic_index_in_dim(a, i % n_in,
                                                        keepdims=False), st)
             sol = solve_fn(*args)
-            leaf = jax.tree.leaves(sol)[0]
-            return carry + leaf.sum().astype(jnp.float32) * 1e-20, None
+            # reduce over ALL leaves so no output (and no work feeding
+            # it) is dead-code-eliminated -- same liveness as the
+            # latency probe (round-2 advisor finding)
+            acc = sum(l.sum().astype(jnp.float32)
+                      for l in jax.tree.leaves(sol))
+            return carry + acc * 1e-20, None
         out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                               jnp.arange(kk), length=kk)
         return out
@@ -89,24 +93,34 @@ def accuracy_tiers(preset, args):
     import numpy as np
     from centroidal_mpc_tpu.solver.scp import solve_scp
 
+    trace_only = getattr(args, "trace_only", False)
     cpu = jax.devices("cpu")[0]
     with jax.enable_x64(True), jax.default_device(cpu):
-        qp64 = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=20000,
+        qp64 = QPSettings(eps_abs=1e-7, eps_rel=1e-7,
+                          max_iter=args.ref_max_iter,
                           adaptive_rho=True, polish=True)
         p64 = presets.build_problem(preset, dtype=jnp.float64, qp=qp64)
         p64 = dataclasses.replace(
             p64, scp=dataclasses.replace(p64.scp, qp_backend="block"))
-        sol64 = solve_scp(p64.model, p64.plan.schedule, p64.ocp, p64.X0,
-                          p64.U0, p64.scp)
-        X_ref = np.asarray(sol64.X, np.float64)
-        U_ref = np.asarray(sol64.U, np.float64)
-        assert bool(sol64.success), "f64 reference SCP failed"
+        if trace_only:
+            jax.jit(lambda c, x, u: solve_scp(
+                p64.model, p64.plan.schedule, c, x, u,
+                p64.scp)).lower(p64.ocp, p64.X0, p64.U0)
+            X_ref = np.zeros(p64.X0.shape)
+            U_ref = np.zeros(p64.U0.shape)
+        else:
+            sol64 = solve_scp(p64.model, p64.plan.schedule, p64.ocp,
+                              p64.X0, p64.U0, p64.scp)
+            X_ref = np.asarray(sol64.X, np.float64)
+            U_ref = np.asarray(sol64.U, np.float64)
+            assert bool(sol64.success), "f64 reference SCP failed"
 
     tiers = [(5e-4, False), (1e-4, False), (1e-5, False), (1e-4, True)]
     out = []
     tier_batch = min(args.batch, 64)
     for eps, polish in tiers:
-        qp = QPSettings(eps_abs=eps, eps_rel=eps, max_iter=4000,
+        qp = QPSettings(eps_abs=eps, eps_rel=eps,
+                        max_iter=args.qp_max_iter,
                         adaptive_rho=False, sweep_method=args.sweep,
                         factor_method=args.factor, polish=polish)
         prob = presets.build_problem(preset, dtype=jnp.float32, qp=qp)
@@ -122,6 +136,10 @@ def accuracy_tiers(preset, args):
             Xr = Xb + 1e-4 * r
             inputs.append((tile_ocp_config(prob.ocp, Xr[:, 0], Xr[:, -1],
                                            Xr), Xr, Ub))
+        if trace_only:
+            solve.lower(*inputs[0])
+            out.append({"eps": eps, "polish": polish, "traced": True})
+            continue
         sol = solve(*inputs[0])
         jax.block_until_ready(sol)
         x_err = float(jnp.max(jnp.abs(
@@ -175,7 +193,29 @@ def latency_distribution(solve1, in1, n_probes: int):
             float(np.percentile(ts, 99) * 1e3), c_tunnel * 1e3)
 
 
-def main():
+def kernel_parity(prob, inputs, sol_pallas, args):
+    """Compiled-Mosaic self-certification (VERDICT round 2, item 4): the
+    CI suite only ever exercises the Pallas kernels in interpret mode, so
+    every bench run doubles as the compiled-kernel correctness check by
+    re-solving one batch with factor_method='cholesky' (pure XLA) and
+    comparing solutions.  Returns a dict recorded in the bench JSON."""
+    qp_ref = dataclasses.replace(prob.scp.qp, factor_method="cholesky")
+    scp_ref = dataclasses.replace(prob.scp, qp=qp_ref)
+    solve_ref = jax.jit(lambda c, x, u: batched_solve(
+        prob.model, prob.plan.schedule, c, x, u, scp_ref))
+    sol_ref = solve_ref(*inputs[0])
+    jax.block_until_ready(sol_ref)
+    x_err = float(jnp.max(jnp.abs(sol_pallas.X - sol_ref.X)))
+    u_err = float(jnp.max(jnp.abs(sol_pallas.U - sol_ref.U)))
+    it_diff = float(jnp.mean(jnp.abs(
+        sol_pallas.qp_iterations.astype(jnp.float32)
+        - sol_ref.qp_iterations.astype(jnp.float32))))
+    return {"x_err_inf": round(x_err, 8), "u_err_inf": round(u_err, 8),
+            "mean_qp_iter_diff": round(it_diff, 2),
+            "ok": bool(x_err < args.parity_tol and u_err < args.parity_tol)}
+
+
+def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--chain", type=int, default=10,
@@ -204,9 +244,27 @@ def main():
                          "+ friction back-offs; ~1500 solves/s at batch 64)")
     ap.add_argument("--no-accuracy", action="store_true",
                     help="skip the accuracy-at-speed tier table")
-    args = ap.parse_args()
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the pallas-vs-cholesky kernel parity check")
+    ap.add_argument("--parity-tol", type=float, default=2e-3,
+                    help="inf-norm tolerance for the kernel parity check")
+    ap.add_argument("--qp-max-iter", type=int, default=4000,
+                    help="ADMM iteration cap (throughput + tier solves)")
+    ap.add_argument("--ref-max-iter", type=int, default=20000,
+                    help="ADMM iteration cap for the f64 reference solve")
+    ap.add_argument("--trace-only", action="store_true",
+                    help="jit-lower every configured program without "
+                         "compiling/executing (CI smoke: catches tracing "
+                         "regressions like the round-2 polish crash fast)")
+    return ap
 
-    qp = QPSettings(eps_abs=args.eps, eps_rel=args.eps, max_iter=4000,
+
+def run(args):
+    """Everything main() does, parameterized; returns the record dict.
+    Driven at tiny scale by tests/test_bench_smoke.py so every bench
+    configuration is CI-traced (VERDICT round 2, item 2)."""
+    qp = QPSettings(eps_abs=args.eps, eps_rel=args.eps,
+                    max_iter=args.qp_max_iter,
                     adaptive_rho=(args.rho == "always"),
                     adaptive_rho_mode="always", sweep_method=args.sweep,
                     factor_method=args.factor, polish=args.polish)
@@ -234,6 +292,33 @@ def main():
         inputs.append((tile_ocp_config(prob.ocp, X0r[:, 0], X0r[:, -1], X0r),
                        X0r, U0))
 
+    if args.trace_only:
+        # lower (trace + StableHLO) every program the real bench would
+        # compile; trace-time regressions raise here, no XLA compile cost
+        solve.lower(*inputs[0])
+        if args.latency_probes > 0:
+            X1 = X0[:1]
+            in1 = [(tile_ocp_config(prob.ocp, X1[:, 0], X1[:, -1], X1),
+                    X1, U0[:1])]
+            solve.lower(*in1[0])
+        if not args.no_parity and args.factor == "pallas":
+            qp_ref = dataclasses.replace(prob.scp.qp,
+                                         factor_method="cholesky")
+            scp_ref = dataclasses.replace(prob.scp, qp=qp_ref)
+            jax.jit(lambda c, x, u: batched_solve(
+                prob.model, prob.plan.schedule, c, x, u,
+                scp_ref)).lower(*inputs[0])
+        tiers = None
+        if not args.no_accuracy:
+            tiers = accuracy_tiers(presets.PRESETS[args.preset], args)
+        record = {"metric": "scp_solves_per_s_per_chip", "value": 0.0,
+                  "unit": "solves/s", "vs_baseline": 0.0,
+                  "trace_only": True, "batch": batch,
+                  "_stderr": "# trace-only run (no execution)"}
+        if tiers is not None:
+            record["accuracy_tiers"] = tiers
+        return record
+
     sol = solve(*inputs[0])  # compile + warm up
     # force the synchronous tunnel mode AND check correctness up front
     n_success = int(jnp.sum(sol.success))
@@ -260,6 +345,10 @@ def main():
         p50_ms, p99_ms, c_tunnel_ms = latency_distribution(
             solve1, in1, args.latency_probes)
 
+    parity = None
+    if not args.no_parity and args.factor == "pallas":
+        parity = kernel_parity(prob, inputs, sol, args)
+
     tiers = None
     if not args.no_accuracy:
         tiers = accuracy_tiers(presets.PRESETS[args.preset], args)
@@ -271,17 +360,30 @@ def main():
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
         "latency_p50_ms": round(p50_ms, 3),
         "latency_p99_ms": round(p99_ms, 3),
+        "n_success": n_success,
+        "batch": batch,
     }
+    if parity is not None:
+        record["kernel_parity"] = parity
     if tiers is not None:
         record["accuracy_tiers"] = tiers
+    record["_stderr"] = (
+        f"# backend={args.backend} batch={batch} "
+        f"batch_time={t_solve*1e3:.2f}ms "
+        f"success={n_success}/{batch} mean_qp_iters="
+        f"{float(jnp.mean(sol.qp_iterations)):.0f} "
+        f"latency_single={lat_ms:.2f}ms p50={p50_ms:.2f}ms "
+        f"p99={p99_ms:.2f}ms "
+        f"device={jax.devices()[0].device_kind}")
+    return record
+
+
+def main():
+    args = build_parser().parse_args()
+    record = run(args)
+    info = record.pop("_stderr")
     print(json.dumps(record))
-    print(f"# backend={args.backend} batch={batch} "
-          f"batch_time={t_solve*1e3:.2f}ms "
-          f"success={n_success}/{batch} mean_qp_iters="
-          f"{float(jnp.mean(sol.qp_iterations)):.0f} "
-          f"latency_single={lat_ms:.2f}ms p50={p50_ms:.2f}ms "
-          f"p99={p99_ms:.2f}ms "
-          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    print(info, file=sys.stderr)
 
 
 if __name__ == "__main__":

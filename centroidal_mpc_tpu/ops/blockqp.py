@@ -666,7 +666,10 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
     """
     applyA = applyA or _apply_A
     applyAT = applyAT or _apply_AT
-    assemble = assemble or _assemble_blocks
+    # assemble takes (s, rho) with sigma closed over, so the batched loop
+    # can pass its 2-arg vmapped form (vasm) without vmap trying to map
+    # the scalar sigma (round-2 regression: ValueError rank 0).
+    assemble = assemble or (lambda s_, r_: _assemble_blocks(s_, r_, sigma))
     pack = pack or (lambda ww: _pack(ww, nx, nu))
     unpack = unpack or (lambda W: _unpack(W, nx, nu))
     z = applyA(s, w)
@@ -690,7 +693,7 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
 
     beta = jnp.asarray(settings.polish_rho, z.dyn.dtype)
     rho_p = ZGroups(*(m.astype(z.dyn.dtype) * beta for m in mask))
-    diag, off = assemble(s, rho_p, sigma)
+    diag, off = assemble(s, rho_p)
     fac_p = factorize(diag, off)
 
     y_p = ZGroups(*(jnp.where(m, yy, 0.0) for m, yy in zip(mask, y)))
@@ -822,18 +825,20 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
                        ) & ~done_new
             rho_next = jnp.where(trigger, new_rho, rho_b)
 
-        # freeze scenarios that were already done at segment entry (the
-        # semantics a batched while_loop gives the per-scenario loop)
-        keep = lambda new, old: jnp.where(bc(done_b, new), old, new)
+        # freeze scenarios whose per-lane cond is false at segment entry
+        # -- done OR iteration budget exhausted (the semantics a batched
+        # while_loop gives the per-scenario loop)
+        frozen = done_b | (it_b >= n_segments * settings.check_interval)
+        keep = lambda new, old: jnp.where(bc(frozen, new), old, new)
         w3 = _wmap(keep, w2, w)
         z3 = _zmap(keep, z2, z)
         y3 = _zmap(keep, y2, y)
         return (w3, z3, y3,
-                jnp.where(done_b, rho_b, rho_next),
-                jnp.where(done_b, it_b, it_b + settings.check_interval),
-                jnp.where(done_b, prim_b, prim),
-                jnp.where(done_b, dual_b, dual),
-                done_b | done_new)
+                jnp.where(frozen, rho_b, rho_next),
+                jnp.where(frozen, it_b, it_b + settings.check_interval),
+                jnp.where(frozen, prim_b, prim),
+                jnp.where(frozen, dual_b, dual),
+                done_b | (done_new & ~frozen))
 
     def loop_cond(carry):
         *_, it_b, _, _, done_b = carry
@@ -879,8 +884,15 @@ def _pallas_admm_op(settings: QPSettings, nx: int, nu: int):
 
     @op.def_vmap
     def _rule(axis_size, in_batched, s, w, y):
-        assert all(jax.tree.leaves(in_batched)), (
-            "pallas ADMM op expects fully batched inputs under vmap")
+        # Batch-invariant leaves (zero warm starts, constant bounds/
+        # scales) arrive unbatched under vmap; broadcast them to the
+        # batch axis instead of asserting (round-2 advisor finding).
+        def lift(b, a):
+            if b:
+                return a
+            a = jnp.asarray(a)
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        s, w, y = jax.tree.map(lift, list(in_batched), [s, w, y])
         out = _admm_loop_batched(s, w, y, settings, nx, nu)
         return out, jax.tree.map(lambda _: True, out)
 

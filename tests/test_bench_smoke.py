@@ -1,0 +1,95 @@
+"""CPU smoke test for every bench.py configuration (VERDICT round 2, item 2).
+
+Round 2 shipped a trace-time crash (polish=True under the batched pallas
+loop) that only bench.py's accuracy-tier table exercised, so the driver's
+TPU bench run died without a JSON line.  This test drives bench.run() --
+the EXACT code paths of the driver bench -- at tiny scale on CPU:
+
+  * trace-only sweep: every configuration (factor in {cholesky, thomas,
+    pallas}, polish on/off, rho fixed/'always', stochastic, batch >=
+    PALLAS_MIN_BATCH and batch 1, the latency probe shape, the
+    kernel-parity shape, and the full accuracy_tiers table incl. the
+    (1e-4, polish=True) tier that crashed round 2) is jit-LOWERED --
+    trace-time regressions raise without paying XLA compile time.
+  * one executed combo: the batched-pallas polish path actually runs
+    end-to-end (interpret-mode kernels) on an N=9 step-in-place trot.
+
+The trace-only sweep fails on round-2 HEAD (the vmap rank-0 ValueError
+is raised during tracing).
+"""
+import dataclasses
+import json
+
+import pytest
+
+import bench
+from centroidal_mpc_tpu.config import gaits, presets
+from centroidal_mpc_tpu.ops.blockqp import PALLAS_MIN_BATCH
+
+TINY_NAME = "smoke_tiny_trot"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tiny_preset():
+    """Register an N=9 trot preset so bench.run() sees it by name.
+
+    step-in-place: a 0.12 m step in 9 knots (0.09 s) is dynamically
+    infeasible and the QP never converges; step_length=0 converges the
+    f64 eps=1e-7 reference QP in ~75 ADMM iterations.
+    """
+    gait = dataclasses.replace(gaits.SOLO12_TROT, step_length=0.0,
+                               step_knots=3, support_knots=1, nb_steps=1)
+    preset = dataclasses.replace(presets.SOLO12_TROT, name=TINY_NAME,
+                                 gait=gait)
+    assert preset.horizon == 9
+    presets.PRESETS[TINY_NAME] = preset
+    yield preset
+    del presets.PRESETS[TINY_NAME]
+
+
+def run_bench(extra):
+    args = bench.build_parser().parse_args(
+        ["--preset", TINY_NAME, "--chain", "2", "--trials", "1",
+         "--qp-max-iter", "150", "--eps", "1e-3"] + extra)
+    record = bench.run(args)
+    record.pop("_stderr")
+    json.dumps(record)  # the driver contract: one JSON-serializable line
+    return record
+
+
+TRACE_COMBOS = [
+    # the round-2 crash path: polish through the batched pallas loop +
+    # the accuracy-tier table + kernel parity + the latency-probe shape
+    ["--factor", "pallas", "--polish", "--batch", str(PALLAS_MIN_BATCH),
+     "--latency-probes", "2"],
+    ["--factor", "pallas", "--rho", "always",
+     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity",
+     "--latency-probes", "0"],
+    ["--factor", "pallas", "--stochastic",
+     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity",
+     "--latency-probes", "0"],
+    ["--factor", "cholesky", "--polish", "--batch", "1", "--no-accuracy",
+     "--latency-probes", "0"],
+    ["--factor", "thomas", "--sweep", "assoc", "--batch", "2",
+     "--no-accuracy", "--latency-probes", "0"],
+]
+
+
+@pytest.mark.parametrize("combo", TRACE_COMBOS,
+                         ids=lambda c: "_".join(
+                             a.lstrip("-") for a in c if a.startswith("--")))
+def test_trace_every_bench_configuration(combo):
+    rec = run_bench(["--trace-only"] + combo)
+    assert rec["trace_only"] is True
+    if "accuracy_tiers" in rec:
+        assert len(rec["accuracy_tiers"]) == 4
+
+
+def test_execute_pallas_polish_batched():
+    """The batched pallas+polish path runs end-to-end (interpret kernels)
+    and every scenario converges on the tiny problem."""
+    rec = run_bench(["--factor", "pallas", "--polish",
+                     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy",
+                     "--no-parity", "--latency-probes", "0"])
+    assert rec["value"] > 0
+    assert rec["n_success"] == PALLAS_MIN_BATCH
