@@ -119,9 +119,14 @@ def accuracy_tiers(preset, args):
     out = []
     tier_batch = min(args.batch, 64)
     for eps, polish in tiers:
+        # scheduled rho adaptation: the reference's OSQP operating point
+        # is adaptive_rho=on, and fixed-rho f32 ADMM stalls below
+        # eps=5e-4 (measured 0/64 converged at 1e-4 vs 64/64 in 162
+        # iterations with 'always' adaptation, TPU v5e 2026-08-21)
         qp = QPSettings(eps_abs=eps, eps_rel=eps,
                         max_iter=args.qp_max_iter,
-                        adaptive_rho=False, sweep_method=args.sweep,
+                        adaptive_rho=True, adaptive_rho_mode="always",
+                        sweep_method=args.sweep,
                         factor_method=args.factor, polish=polish)
         prob = presets.build_problem(preset, dtype=jnp.float32, qp=qp)
         prob = dataclasses.replace(
@@ -151,6 +156,14 @@ def accuracy_tiers(preset, args):
         t = per_call_time(solve, inputs, max(args.chain // 2, 3), 2)
         out.append({"eps": eps, "polish": polish,
                     "solves_per_s": round(tier_batch / t, 1),
+                    # tiers below the f32 ADMM floor (~1e-4 scaled
+                    # residuals) report their non-convergence honestly
+                    # rather than a masked error figure
+                    "success_frac": round(
+                        float(jnp.mean(sol.success.astype(jnp.float32))),
+                        3),
+                    "mean_qp_iters": round(
+                        float(jnp.mean(sol.qp_iterations)), 0),
                     "x_err_inf": round(x_err, 8),
                     "u_err_inf": round(u_err, 8)})
     return out
@@ -177,10 +190,11 @@ def latency_distribution(solve1, in1, n_probes: int):
     small = jnp.zeros((8,), jnp.float32)
     float(noop(small))
     const = []
-    for _ in range(50):
+    for _ in range(max(50, n_probes)):
         t0 = time.perf_counter()
         float(noop(small))
         const.append(time.perf_counter() - t0)
+    const = np.asarray(const)
     c_tunnel = float(np.median(const))
     float(probe(*in1[0]))  # compile
     ts = []
@@ -189,8 +203,11 @@ def latency_distribution(solve1, in1, n_probes: int):
         float(probe(*in1[i % len(in1)]))
         ts.append(time.perf_counter() - t0)
     ts = np.asarray(ts) - c_tunnel
+    # the noop distribution IS the pure dispatch+readback path: its tail
+    # bounds how much of the probe tail is tunnel jitter vs chip time
     return (float(np.percentile(ts, 50) * 1e3),
-            float(np.percentile(ts, 99) * 1e3), c_tunnel * 1e3)
+            float(np.percentile(ts, 99) * 1e3), c_tunnel * 1e3,
+            float(np.percentile(const, 99) * 1e3))
 
 
 def kernel_parity(prob, inputs, sol_pallas, args):
@@ -207,12 +224,19 @@ def kernel_parity(prob, inputs, sol_pallas, args):
     jax.block_until_ready(sol_ref)
     x_err = float(jnp.max(jnp.abs(sol_pallas.X - sol_ref.X)))
     u_err = float(jnp.max(jnp.abs(sol_pallas.U - sol_ref.U)))
+    # scale-relative: X is O(0.2 m) CoM coordinates, U is O(10 N) forces
+    x_rel = x_err / max(float(jnp.abs(sol_ref.X).max()), 1e-30)
+    u_rel = u_err / max(float(jnp.abs(sol_ref.U).max()), 1e-30)
     it_diff = float(jnp.mean(jnp.abs(
         sol_pallas.qp_iterations.astype(jnp.float32)
         - sol_ref.qp_iterations.astype(jnp.float32))))
+    tol = args.parity_tol
+    if tol is None:
+        tol = max(20.0 * args.eps, 1e-3)
     return {"x_err_inf": round(x_err, 8), "u_err_inf": round(u_err, 8),
-            "mean_qp_iter_diff": round(it_diff, 2),
-            "ok": bool(x_err < args.parity_tol and u_err < args.parity_tol)}
+            "x_err_rel": round(x_rel, 8), "u_err_rel": round(u_rel, 8),
+            "mean_qp_iter_diff": round(it_diff, 2), "tol_rel": tol,
+            "ok": bool(x_rel < tol and u_rel < tol)}
 
 
 def build_parser():
@@ -246,8 +270,13 @@ def build_parser():
                     help="skip the accuracy-at-speed tier table")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the pallas-vs-cholesky kernel parity check")
-    ap.add_argument("--parity-tol", type=float, default=2e-3,
-                    help="inf-norm tolerance for the kernel parity check")
+    ap.add_argument("--parity-tol", type=float, default=None,
+                    help="relative tolerance for the kernel parity check "
+                         "(default max(20*eps, 1e-3): two ADMM runs "
+                         "differing only in factorization roundoff stop "
+                         "within the same eps band, so solutions "
+                         "legitimately differ by O(eps); a miscompiled "
+                         "kernel differs by O(1))")
     ap.add_argument("--qp-max-iter", type=int, default=4000,
                     help="ADMM iteration cap (throughput + tier solves)")
     ap.add_argument("--ref-max-iter", type=int, default=20000,
@@ -330,7 +359,7 @@ def run(args):
     # per-solve wall time at batch 1 plus the p50/p99 distribution over
     # >= latency_probes individual solves (tunnel constant subtracted --
     # a locally-attached chip has no tunnel).
-    lat_ms = p50_ms = p99_ms = float("nan")
+    lat_ms = p50_ms = p99_ms = tunnel_p99 = float("nan")
     if args.latency_probes > 0:
         solve1 = jax.jit(lambda c, x, u: batched_solve(
             prob.model, prob.plan.schedule, c, x, u, prob.scp))
@@ -342,7 +371,7 @@ def run(args):
         out = solve1(*in1[0])
         jax.block_until_ready(out)
         lat_ms = per_call_time(solve1, in1, args.chain, args.trials) * 1e3
-        p50_ms, p99_ms, c_tunnel_ms = latency_distribution(
+        p50_ms, p99_ms, c_tunnel_ms, tunnel_p99 = latency_distribution(
             solve1, in1, args.latency_probes)
 
     parity = None
@@ -360,6 +389,14 @@ def run(args):
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
         "latency_p50_ms": round(p50_ms, 3),
         "latency_p99_ms": round(p99_ms, 3),
+        # pure chip time per batch-1 solve (in-jit chain difference
+        # quotient: no dispatch, no tunnel) -- the p99 a locally-attached
+        # deployment sees is ~this plus sub-ms host dispatch.  The
+        # host-observed p99 above additionally carries the axon tunnel's
+        # round-trip TAIL, bounded by tunnel_noop_p99_ms (the p99 of a
+        # trivial jitted call: pure dispatch+readback path).
+        "latency_chip_ms": round(lat_ms, 3),
+        "tunnel_noop_p99_ms": round(tunnel_p99, 3),
         "n_success": n_success,
         "batch": batch,
     }

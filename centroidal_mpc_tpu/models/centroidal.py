@@ -23,10 +23,13 @@ closed forms.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+from jax.custom_batching import custom_vmap
 
 from centroidal_mpc_tpu.config.robots import POINT3, WRENCH6, RobotSpec
 from centroidal_mpc_tpu.contact.plan import ContactSchedule
@@ -196,7 +199,8 @@ def linearize_step_ad(model: CentroidalModel, x, u, pos, logic, rot):
     return f, A, B, C
 
 
-def lqr_gain(model: CentroidalModel, A, B, n_iter: int = 2):
+def lqr_gain(model: CentroidalModel, A, B, n_iter: int = 2,
+             ns_iters: int = 6):
     """LQR feedback gain from an n_iter-truncated DARE fixed point.
 
     Reference: compute_lqr_feedback_gains (src/centroidal_model.py:217-228):
@@ -204,6 +208,14 @@ def lqr_gain(model: CentroidalModel, A, B, n_iter: int = 2):
     K = -(R + B'PB)^-1 B'PA.  The SPD solves use the matmul-only
     Newton-Schulz inverse (ops/linalg.py) -- batched tiny LU/Cholesky
     lowers poorly on TPU and dominated the linearization profile.
+
+    ns_iters: the K chain is 3 sequential Newton-Schulz inverses whose
+    tiny batched matmuls are launch-latency-bound on TPU (~24 ms at
+    batch 128 x N=50 with the spd_inverse default of 16).  The
+    Jacobi-preconditioned H = R + B'PB sits at cond ~1e2, where the
+    quadratic iteration is fully converged (f32 AND f64 roundoff) by
+    iteration 4 -- measured on the solo12 trot N=50 matrices 2026-08-21;
+    6 leaves two squaring steps of margin.
     """
     from centroidal_mpc_tpu.ops.linalg import spd_inverse
     Q, R = model.Q, model.R
@@ -211,12 +223,50 @@ def lqr_gain(model: CentroidalModel, A, B, n_iter: int = 2):
     def dare(P, _):
         AtP = A.T @ P
         AtPB = AtP @ B
-        H_inv = spd_inverse(R + B.T @ P @ B)
+        H_inv = spd_inverse(R + B.T @ P @ B, ns_iters)
         P_next = (Q + AtP @ A) - AtPB @ H_inv @ AtPB.T
         return P_next, None
 
     P, _ = jax.lax.scan(dare, Q, None, length=n_iter)
-    return -spd_inverse(R + B.T @ P @ B) @ (B.T @ P @ A)
+    return -spd_inverse(R + B.T @ P @ B, ns_iters) @ (B.T @ P @ A)
+
+
+@functools.lru_cache(maxsize=16)
+def _lqr_gains_op(n_iter: int):
+    """custom_vmap'd whole-trajectory LQR-gain op (f32 path).
+
+    Primal: (Q, R, A(N,nx,nx), B(N,nx,nu)) -> K(N,nu,nx) via the
+    ops/pallas_lqr kernel (S=N lanes).  Batched rule: collapse the
+    scenario axis into the lane axis instead of letting XLA pad 12x12
+    matmuls to MXU tiles under vmap (see pallas_lqr module docstring).
+    """
+    from centroidal_mpc_tpu.ops.pallas_lqr import lqr_gain_batched
+
+    def flat(Q, R, A, B):
+        lead = A.shape[:-2]
+        nx, nu = A.shape[-1], B.shape[-1]
+        K = lqr_gain_batched(Q, R, A.reshape(-1, nx, nx),
+                             B.reshape(-1, nx, nu), n_iter=n_iter)
+        return K.reshape(lead + (nu, nx))
+
+    @custom_vmap
+    def op(Q, R, A, B):
+        return flat(Q, R, A, B)
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, Q, R, A, B):
+        qb, rb, ab, bb = jax.tree.leaves(in_batched)
+        if qb or rb:
+            raise NotImplementedError(
+                "per-scenario LQR weights are not supported by the "
+                "pallas gain kernel; use the f64/XLA path")
+        if not ab:
+            A = jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+        if not bb:
+            B = jnp.broadcast_to(B[None], (axis_size,) + B.shape)
+        return flat(Q, R, A, B), True
+
+    return op
 
 
 def propagate_covariance(model: CentroidalModel, A, B, C, K, sigma0=None):
@@ -264,7 +314,14 @@ def compute_trajectory_data(model: CentroidalModel,
                                             schedule.n_contacts, 3)
     f, A, B, C = jax.vmap(linearize_step, in_axes=(None, 0, 0, 0, 0, 0))(
         model, X[:-1], U, pos, schedule.logic, schedule.orientation)
-    K = jax.vmap(lqr_gain, in_axes=(None, 0, 0, None))(model, A, B, lqr_iters)
+    if A.dtype == jnp.float32:
+        # f32 production path: one pallas launch, scenario batch on the
+        # VPU lanes (the XLA path's tiny padded-MXU matmuls cost ~24 ms
+        # per batch-128 solve -- ops/pallas_lqr.py)
+        K = _lqr_gains_op(lqr_iters)(model.Q, model.R, A, B)
+    else:
+        K = jax.vmap(lqr_gain, in_axes=(None, 0, 0, None))(model, A, B,
+                                                           lqr_iters)
     if with_covariance:
         Sigma = propagate_covariance(model, A, B, C, K)
     else:

@@ -177,13 +177,45 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
                 & (c.weight < settings.omega_max)
                 & not_converged & c.qp_ok)
 
-    def body(c: Carry):
-        data = compute_trajectory_data(model, schedule, c.X_lin, c.U_lin,
-                                       lqr_iters=settings.lqr_iters,
-                                       with_covariance=cfg.stochastic)
+    # Frozen-linearization mode (the solo12 reference semantics,
+    # src/scp_solver.py:140 linearizing the initial trajectory every
+    # iteration): X_lin/U_lin never change, so the linearization -- and
+    # especially the LQR-gain chain, whose Newton-Schulz inverses are
+    # ~100 sequential tiny matmuls per DARE and dominated the batched
+    # solve profile at ~25 ms/solve when recomputed inside the loop
+    # (measured TPU v5e, batch 128) -- is computed ONCE outside the
+    # while_loop.  XLA does not hoist it on its own.
+    data_const = None
+    qp_const = None
+    if not settings.update_linearization:
+        data_const = compute_trajectory_data(
+            model, schedule, X0, U0, lqr_iters=settings.lqr_iters,
+            with_covariance=cfg.stochastic)
         if settings.qp_backend == "block":
-            qp = blockqp.build_block_qp(model, schedule, cfg, c.X_lin,
-                                        c.U_lin, data, c.radius, c.weight)
+            # the QP blocks are likewise frozen; only the trust-region
+            # radius and the L1 penalty weight vary across iterations
+            qp_const = blockqp.build_block_qp(
+                model, schedule, cfg, X0, U0, data_const,
+                jnp.asarray(settings.trust_region_radius0, dtype),
+                jnp.asarray(settings.omega0, dtype))
+
+    def body(c: Carry):
+        if data_const is not None:
+            data = data_const
+        else:
+            data = compute_trajectory_data(model, schedule, c.X_lin,
+                                           c.U_lin,
+                                           lqr_iters=settings.lqr_iters,
+                                           with_covariance=cfg.stochastic)
+        if settings.qp_backend == "block":
+            if qp_const is not None:
+                qp = qp_const.replace(
+                    inv_omega=1.0 / c.weight,
+                    trust_ub=c.radius + X0[:, 6:9] @ qp_const.penum.T)
+            else:
+                qp = blockqp.build_block_qp(model, schedule, cfg, c.X_lin,
+                                            c.U_lin, data, c.radius,
+                                            c.weight)
             w0 = blockqp.WVars(
                 x=c.warm_x[:N_X * (N + 1)].reshape(N + 1, N_X),
                 u=c.warm_x[N_X * (N + 1):].reshape(N, model.n_u),

@@ -24,12 +24,18 @@ jax.config.update("jax_enable_x64", True)
 # host CPU feature set: XLA:CPU AOT artifacts are machine-specific, and
 # loading entries written by a previous session on a different host
 # crashes with SIGILL (observed when the environment migrated machines).
-# OPT-IN ONLY (CMPC_JAX_CACHE=1): on some hosts the zstd
-# serialize/deserialize path itself crashes the process (observed
-# 2026-08-19: SIGSEGV in put_executable_and_time, SIGABRT in
-# get_executable_and_time during full-suite runs), so correctness runs
-# default to no persistent cache.
-if os.environ.get("CMPC_JAX_CACHE") == "1":
+# The zstd (zstandard C bindings) serialize/deserialize path crashed the
+# process on some hosts (2026-08-19: SIGSEGV in put_executable_and_time,
+# SIGABRT in get_executable_and_time during full-suite runs), so the
+# cache was opt-in for round 2.  Round 3: force the stdlib-zlib codec by
+# nulling jax's zstd handles BEFORE the cache initializes -- the crashy
+# library never loads -- and default the cache ON (CMPC_JAX_CACHE=0
+# opts out).
+if os.environ.get("CMPC_JAX_CACHE", "1") != "0":
+    from jax._src import compilation_cache as _cc
+
+    _cc.zstd = None
+    _cc.zstandard = None
     import hashlib
     import platform
 
