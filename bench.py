@@ -253,7 +253,8 @@ def build_parser():
                     help="0 disables the latency-distribution measurement")
     ap.add_argument("--sweep", default="scan", choices=["scan", "assoc"])
     ap.add_argument("--factor", default="pallas",
-                    choices=["cholesky", "thomas", "pallas"],
+                    choices=["cholesky", "thomas", "pallas",
+                             "pallas_fused"],
                     help="block-tridiagonal factorization backend; "
                          "'pallas' fuses the blocked Cholesky onto the "
                          "VPU lanes (~90x the XLA scan, ops/pallas_blockqp)")

@@ -24,18 +24,19 @@ jax.config.update("jax_enable_x64", True)
 # host CPU feature set: XLA:CPU AOT artifacts are machine-specific, and
 # loading entries written by a previous session on a different host
 # crashes with SIGILL (observed when the environment migrated machines).
-# The zstd (zstandard C bindings) serialize/deserialize path crashed the
-# process on some hosts (2026-08-19: SIGSEGV in put_executable_and_time,
-# SIGABRT in get_executable_and_time during full-suite runs), so the
-# cache was opt-in for round 2.  Round 3: force the stdlib-zlib codec by
-# nulling jax's zstd handles BEFORE the cache initializes -- the crashy
-# library never loads -- and default the cache ON (CMPC_JAX_CACHE=0
-# opts out).
-if os.environ.get("CMPC_JAX_CACHE", "1") != "0":
+# OPT-IN ONLY (CMPC_JAX_CACHE=1).  Round-2 full-suite runs crashed in
+# put/get_executable_and_time; round 3 retried with the stdlib-zlib
+# codec forced (nulling jax's zstd handles) -- warm per-file runs were
+# fine (test_blockqp 131 s -> 77 s) but full-suite runs STILL segfault
+# inside pxla compile (observed 2026-08-21 in test_rigid_body under
+# both xdist and serial), so the fault is XLA:CPU executable
+# deserialization on this platform, not the compression codec.  The
+# cache therefore stays off for correctness runs.
+if os.environ.get("CMPC_JAX_CACHE") == "1":
     from jax._src import compilation_cache as _cc
 
     _cc.zstd = None
-    _cc.zstandard = None
+    _cc.zstandard = None  # force zlib; the zstd bindings also crashed
     import hashlib
     import platform
 

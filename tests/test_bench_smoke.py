@@ -72,6 +72,8 @@ TRACE_COMBOS = [
      "--latency-probes", "0"],
     ["--factor", "thomas", "--sweep", "assoc", "--batch", "2",
      "--no-accuracy", "--latency-probes", "0"],
+    ["--factor", "pallas_fused", "--batch", str(PALLAS_MIN_BATCH),
+     "--no-accuracy", "--no-parity", "--latency-probes", "0"],
 ]
 
 
@@ -85,6 +87,8 @@ def test_trace_every_bench_configuration(combo):
         assert len(rec["accuracy_tiers"]) == 4
 
 
+@pytest.mark.slow  # ~3 min interpret-mode compile; the trace-only sweep
+# above is the fast regression net (it catches the round-2 crash class)
 def test_execute_pallas_polish_batched():
     """The batched pallas+polish path runs end-to-end (interpret kernels)
     and every scenario converges on the tiny problem."""

@@ -23,14 +23,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_fleet_solve():
+def _run_fleet(devices_per_proc: int, shape: str, timeout: int):
     coordinator = f"localhost:{_free_port()}"
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)            # 1 CPU device per process
+    env.pop("XLA_FLAGS", None)
+    if devices_per_proc > 1:
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                            f"{devices_per_proc}")
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(i)],
+            [sys.executable, WORKER, coordinator, "2", str(i),
+             str(devices_per_proc), shape],
             cwd=ROOT, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for i in range(2)
@@ -38,7 +42,7 @@ def test_two_process_distributed_fleet_solve():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -48,17 +52,38 @@ def test_two_process_distributed_fleet_solve():
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
     results = {}
     for i, out in enumerate(outs):
-        m = re.search(r"RESULT proc=(\d) devices=(\d) n_success=(\d+) "
-                      r"qp_iters=(\d+) procs_in_report=(\d)", out)
+        m = re.search(r"RESULT proc=(\d) devices=(\d+) n_success=(\d+) "
+                      r"qp_iters=(\d+) procs_in_report=(\d) "
+                      r"addr_shards=(\d+)", out)
         assert m, f"no RESULT line from proc {i}:\n{out}"
-        results[int(m.group(1))] = (m.group(2), m.group(3), m.group(4),
-                                    m.group(5))
+        results[int(m.group(1))] = m.groups()[1:]
     assert set(results) == {0, 1}
-    # psum-reduced stats agree across processes; all 4 scenarios solved;
-    # both processes saw the 2-process group
+    # psum-reduced stats agree across processes -- the collective really
+    # crossed the process boundary
     assert results[0] == results[1]
-    devices, n_success, qp_iters, procs_n = results[0]
+    return results[0]
+
+
+def test_two_process_distributed_fleet_solve():
+    devices, n_success, qp_iters, procs_n, shards = _run_fleet(
+        1, "tiny", 540)
     assert devices == "2"
-    assert n_success == "4"
+    assert n_success == "4"   # worker uses local=devices_per_proc... see note
     assert int(qp_iters) > 0
     assert procs_n == "2"
+    assert shards == "1"
+
+
+def test_two_process_four_device_mesh_bench_shape():
+    """VERDICT round 2, item 8: an 8-way global mesh spanning two OS
+    processes (4 virtual devices each) at the bench shape (N=50),
+    asserting shard placement (each process addresses exactly its 4
+    rows, the global array spans all 8 devices) and cross-process psum
+    agreement."""
+    devices, n_success, qp_iters, procs_n, shards = _run_fleet(
+        4, "bench", 540)
+    assert devices == "8"
+    assert n_success == "8"
+    assert int(qp_iters) > 0
+    assert procs_n == "2"
+    assert shards == "4"

@@ -79,13 +79,19 @@ def test_factor_batched_large_batch_padding():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_solve_block_qp_pallas_backend_parity():
-    """Full batched SCP-subproblem solve: factor_method='pallas' walks the
-    SAME iterate sequence as 'cholesky' on a real (small) trot QP batch --
-    equal iteration counts and per-scenario residuals, tight X/U parity.
-    (Convergence quality of the block solver itself is covered by
-    tests/test_blockqp.py and the TPU bench; this pins the pallas
-    factor/backsolve swap-in to the XLA path bit-for-bit up to rounding.)
+@pytest.mark.parametrize("pallas_method", [
+    "pallas",
+    pytest.param("pallas_fused", marks=pytest.mark.slow),  # opt-in path:
+    # fused-iteration kernels (ops/pallas_admm_iter), interpret mode is
+    # expensive so the leg runs with the slow suite
+])
+def test_solve_block_qp_pallas_backend_parity(pallas_method):
+    """Full batched SCP-subproblem solve: the pallas factor methods walk
+    the SAME iterate sequence as 'cholesky' on a real (small) trot QP
+    batch -- equal iteration counts and per-scenario residuals, tight
+    X/U parity.  (Convergence quality of the block solver itself is
+    covered by tests/test_blockqp.py and the TPU bench; this pins the
+    kernel swap-ins to the XLA path bit-for-bit up to rounding.)
     """
     from centroidal_mpc_tpu.config import presets
     from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
@@ -122,7 +128,8 @@ def test_solve_block_qp_pallas_backend_parity():
         blockqp.PALLAS_MIN_BATCH = min_batch
         blockqp._pallas_admm_op.cache_clear()
         try:
-            sol_p = jax.vmap(lambda x, u: solve(x, u, "pallas"))(X0, U0)
+            sol_p = jax.vmap(lambda x, u: solve(x, u, pallas_method))(X0,
+                                                                       U0)
         finally:
             blockqp.PALLAS_MIN_BATCH = old
             blockqp._pallas_admm_op.cache_clear()

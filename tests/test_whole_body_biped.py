@@ -195,6 +195,8 @@ def test_bolt_whole_body_ddp():
     assert res["com_z_err"] < 0.05              # height held through gait
 
 
+@pytest.mark.slow  # ~5 min one-off XLA:CPU compile (wrench6 humanoid);
+# bolt stays in the fast suite as the biped whole-body representative
 def test_talos_whole_body_ddp():
     res = _run_biped_ddp_isolated(
         "(TALOS, rb.talos_spec, 0.03, 0.05, 5, 2)")

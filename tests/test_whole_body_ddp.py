@@ -100,6 +100,9 @@ def test_warm_start_rollout_stays_upright(setup):
     assert float(base_z.max()) < 0.40
 
 
+@pytest.mark.slow  # one-off ~5 min XLA:CPU compile of the exact_quu
+# joint-space DDP program; the fast suite's whole-body DDP representative
+# is test_whole_body_biped.py::test_bolt_whole_body_ddp
 def test_ddp_solution_quality_and_invariants(setup):
     """Stage-1 DDP solve (in-process): tracking quality, physical forces,
     exact-rollout invariant, centroidal extraction, 1 kHz interpolation."""
@@ -139,6 +142,7 @@ def test_ddp_solution_quality_and_invariants(setup):
     assert traj["forces"].shape == (t, 12)
 
 
+@pytest.mark.slow  # shares the exact_quu compile with the test above
 def test_stage3_tracks_centroidal_solution(setup):
     """TRACK_CENTROIDAL=True mode (in-process): momentum/force targets
     come from a centroidal plan and the DDP follows its CoM path."""
@@ -168,6 +172,8 @@ def test_stage3_tracks_centroidal_solution(setup):
     assert float(np.abs(com[:, 2] - 0.22).max()) < 0.02
 
 
+@pytest.mark.slow  # the full-scale whole-body case (N=45 bound, its own
+# ~4 min XLA:CPU compile); the fast suite keeps the N=28 trot solves
 def test_fddp_solves_bound_full_step(setup):
     """FDDP gap handling (solver/ddp.py): the bound gait at the FULL
     reference step length (0.2 m, conf_solo12_bound.py) -- where the
