@@ -241,7 +241,10 @@ def kernel_parity(prob, inputs, sol_pallas, args):
 
 def build_parser():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    # batch 128 is the measured throughput sweet spot (2026-08-21,
+    # v5e: 7,076 solves/s at 128 vs 5,441 at 256 -- the XLA-side
+    # iteration ops scale linearly while kernel launches do not amortize)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--chain", type=int, default=10,
                     help="solves per timed chain (difference quotient)")
     ap.add_argument("--trials", type=int, default=3)

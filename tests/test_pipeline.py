@@ -35,3 +35,16 @@ def test_artifact_store_roundtrip(tmp_path):
     loaded = store.load("thing")
     np.testing.assert_array_equal(loaded["a"], np.arange(3))
     assert store.maybe_load("missing") is None
+
+
+def test_pipeline_f32_defaults_converge(tmp_path):
+    """f32 pipelines get f32-reachable QP defaults (eps 1e-4, adaptive
+    rho, polish) instead of the f64 reference eps=1e-7 -- which floors
+    out in f32 and spun the CPU demo to max_iter (round-3 regression:
+    demos/run_motion.py without --f64 reported success=False at N=165)."""
+    store = art.ArtifactStore(tmp_path)
+    result = run_pipeline(presets.SOLO12_TROT_N50, store, stochastic=False,
+                          n_sims=0, dtype=jnp.float32)
+    assert bool(result.nominal.success)
+    assert bool(result.nominal.qp_converged)
+    assert int(result.nominal.qp_iterations) < 2000
