@@ -24,9 +24,11 @@ branches executed per iteration, which would turn the occasional Cholesky
 refactorization into one per iteration; at segment granularity its cost is
 amortized 1/check_interval.
 
-Solution polish is intentionally omitted: ADMM at 1e-7 tolerance is within
-the 1e-4 parity budget (BASELINE.md), and polish's dynamic active set fits
-XLA poorly; an active-set masked-KKT polish can be added behind a flag.
+Solution polish lives in the block solver (blockqp._polish: masked-ALM
+iterative refinement + CG dual refinement -- the f32 route to the 1e-4
+parity bar); this dense solver is the reference-layout path and adds
+OSQP's primal/dual infeasibility certificates instead (see
+`certificates` in solve_qp).
 """
 from __future__ import annotations
 
@@ -37,6 +39,14 @@ import jax.numpy as jnp
 from flax import struct
 
 from centroidal_mpc_tpu.solver.ocp import INF, QPData
+
+# Solver status codes (QPSolution.status / BlockQPSolution.status).
+# MAX_ITER means the iteration budget ran out without meeting the
+# tolerance OR certifying infeasibility; SOLVED mirrors `converged`.
+STATUS_MAX_ITER = 0
+STATUS_SOLVED = 1
+STATUS_PRIMAL_INFEASIBLE = 2
+STATUS_DUAL_INFEASIBLE = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +97,58 @@ class QPSettings:
     # max(prim, dual).  Lets the main loop run at loose eps while
     # delivering tight-solution quality.  Ignored by the dense solver.
     polish: bool = False
-    polish_rho: float = 1e5
-    polish_iters: int = 4
+    polish_rho: float = 1e3
+    polish_iters: int = 12
     polish_active_tol: float = 1e-3
+    # Proximal regularization of the polish factorization only (the
+    # polish fixed point is sigma-independent -- see blockqp._polish).
+    # Sized so cond(M) ~ polish_rho / polish_sigma keeps
+    # cond * eps_f32 well below 1 (refinement contracts) while staying
+    # small against P's weakest curvature (prox directions contract by
+    # ~sigma/(sigma + lambda_min)).  Measured on the N=50 trot QP in
+    # f32 (2026-08-21, vs a 1e-9 f64 reference): (1e3, 1e-3, 12 iters,
+    # 2 rounds) reaches u_err 5.5e-5 / x_err 3.0e-6 from a 90-iteration
+    # eps=5e-4 solve -- the BASELINE 1e-4 parity bar on-chip; larger
+    # sigma stalls the prox contraction, smaller diverges the f32
+    # refinement (and is rejected by accept-if-improves).
+    polish_sigma: float = 1e-3
+    # Active-set re-detection rounds: at loose main-loop eps the first
+    # detection can mislabel weakly-active rows; each round re-detects
+    # from the polished iterate (one extra factorization per round).
+    polish_rounds: int = 2
+    # Per-round multiplier of (polish_rho, polish_sigma): the ALM
+    # multiplier iteration contracts like 1/(1 + rho*lambda) per active-
+    # row eigendirection, so near-degenerate directions need larger rho;
+    # ramping keeps round 1 f32-conservative and sharpens later rounds
+    # at constant cond(M).
+    polish_rho_ramp: float = 1.0
+    # Dual-refinement CG iterations after the ALM rounds (see
+    # blockqp._polish): the ALM y-update is Richardson iteration on the
+    # dual normal equations and leaves the dual residual O(1) on
+    # near-degenerate active-row directions; CG on the same operators
+    # reaches the f32 dual floor (~3e-2 scaled on the N=50 trot) in
+    # ~15 iterations.  0 disables.
+    polish_cg_iters: int = 15
+    # CG restart phases with a freshly-evaluated residual (the f32
+    # recurrence drift caps one phase at ~3e-2 scaled dual; a restart
+    # reaches ~1.7e-2 -- below the eps=1e-5 dual threshold).
+    polish_cg_restarts: int = 2
+    # Stall exit (block solver): leave the ADMM loop early when the
+    # best-so-far max(prim, dual) has not improved by >= 1% for this
+    # many consecutive residual checks -- an f32 iterate at its
+    # arithmetic floor makes no further progress, and with polish on
+    # the refinement pass closes the remaining gap far cheaper than
+    # burning max_iter.  0 disables (run to tolerance or max_iter).
+    stall_segments: int = 0
+    # OSQP primal/dual infeasibility certificates (delta-y / delta-x
+    # tests at every residual check; see blockqp._certificates).  An
+    # infeasible QP exits with a distinct status in well under the
+    # iteration budget instead of burning max_iter (the reference aborts
+    # its SCP loop on OSQP's version of these statuses,
+    # src/scp_solver.py:59-68).
+    check_infeasibility: bool = True
+    eps_pinf: float = 1e-4   # OSQP eps_prim_inf default
+    eps_dinf: float = 1e-4   # OSQP eps_dual_inf default
 
 
 class QPSolution(struct.PyTreeNode):
@@ -100,6 +159,7 @@ class QPSolution(struct.PyTreeNode):
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     converged: jnp.ndarray  # bool
+    status: jnp.ndarray     # int32 STATUS_*
 
 
 def ruiz_equilibrate(qp: QPData, iters: int):
@@ -183,10 +243,39 @@ def solve_qp(qp: QPData, settings: QPSettings = QPSettings(),
         y_new = y + rho_vec * (z_relaxed - z_new)
         return x_new, z_new, y_new, rho_vec, L
 
+    def certificates(dx, dy):
+        """OSQP primal/dual infeasibility tests (sec. 3.4) on a segment's
+        iterate deltas, against the unscaled problem (candidates
+        ybar = E dy, xbar = D dx; positive scalars dropped)."""
+        y_norm = jnp.abs(E * dy).max()
+        atdy = jnp.abs((A.T @ dy) / D).max()
+        eps_p = settings.eps_pinf * y_norm
+        # support over finite bounds only; infinite-bound rows need the
+        # recession-feasible dy sign within eps (OSQP convention)
+        fin_ur = (u / E) < 0.5 * INF
+        fin_lr = (l / E) > -0.5 * INF
+        sup = jnp.sum(jnp.where(fin_ur, u * jnp.maximum(dy, 0.0), 0.0)
+                      + jnp.where(fin_lr, l * jnp.minimum(dy, 0.0), 0.0))
+        sign_ok = (jnp.all(fin_ur | (E * dy <= eps_p))
+                   & jnp.all(fin_lr | (E * dy >= -eps_p)))
+        pinf = (y_norm > 0) & (atdy <= eps_p) & sign_ok & (sup <= -eps_p)
+
+        x_norm = jnp.abs(D * dx).max()
+        pdx = jnp.abs((P @ dx) / D).max() / c
+        qdx = jnp.dot(q, dx) / c
+        adx = (A @ dx) / E
+        eps_d = settings.eps_dinf * x_norm
+        fin_u = (u / E) < 0.5 * INF
+        fin_l = (l / E) > -0.5 * INF
+        cone_ok = (jnp.all(~fin_u | (adx <= eps_d))
+                   & jnp.all(~fin_l | (adx >= -eps_d)))
+        dinf = (x_norm > 0) & (pdx <= eps_d) & (qdx <= -eps_d) & cone_ok
+        return pinf, dinf
+
     def segment(carry):
-        x, z, y, rho_scalar, rho_vec, L, it, _, _, _ = carry
+        x0_, z, y0_, rho_scalar, rho_vec, L, it, _, _, _, _, best = carry
         x, z, y, rho_vec, L = jax.lax.fori_loop(
-            0, settings.check_interval, admm_iter, (x, z, y, rho_vec, L))
+            0, settings.check_interval, admm_iter, (x0_, z, y0_, rho_vec, L))
         it = it + settings.check_interval
 
         # Unscaled residuals (OSQP sec. 5.1), once per segment.
@@ -202,6 +291,23 @@ def solve_qp(qp: QPData, settings: QPSettings = QPSettings(),
         eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
         eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
         done = (prim < eps_prim) & (dual < eps_dual)
+        status = jnp.where(done, STATUS_SOLVED,
+                           STATUS_MAX_ITER).astype(jnp.int32)
+        if settings.check_infeasibility:
+            pinf, dinf = certificates(x - x0_, y - y0_)
+            status = jnp.where(
+                pinf & ~done, STATUS_PRIMAL_INFEASIBLE,
+                jnp.where(dinf & ~done, STATUS_DUAL_INFEASIBLE,
+                          status)).astype(jnp.int32)
+            done = done | ((pinf | dinf) & ~done)
+
+        # best-so-far safeguard (see blockqp): a stalled/drifting f32
+        # iterate never worsens the returned solution
+        xb, zb, yb, pb, db = best
+        improve = jnp.maximum(prim, dual) < jnp.maximum(pb, db)
+        take = lambda new, old: jnp.where(improve, new, old)
+        best = (take(x, xb), take(z, zb), take(y, yb),
+                jnp.where(improve, prim, pb), jnp.where(improve, dual, db))
 
         if settings.adaptive_rho:
             # OSQP adaptive rho at segment granularity.  NOTE: under vmap,
@@ -223,16 +329,27 @@ def solve_qp(qp: QPData, settings: QPSettings = QPSettings(),
             rho_scalar, rho_vec, L = jax.lax.cond(
                 trigger, refactor, lambda _: (rho_scalar, rho_vec, L), None)
 
-        return x, z, y, rho_scalar, rho_vec, L, it, prim, dual, done
+        return (x, z, y, rho_scalar, rho_vec, L, it, prim, dual, done,
+                status, best)
 
     def cond(carry):
-        *_, it, _, _, done = carry
+        _, _, _, _, _, _, it, _, _, done, _, _ = carry
         return (~done) & (it < n_segments * settings.check_interval)
 
+    inf0 = jnp.asarray(jnp.inf, dtype)
+    best0 = (x, z, y, inf0, inf0)
     init = (x, z, y, rho0, rho_vec, chol, jnp.zeros((), jnp.int32),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(False))
-    x, z, y, _, _, _, it, prim, dual, done = jax.lax.while_loop(
-        cond, segment, init)
+            inf0, inf0, jnp.asarray(False), jnp.zeros((), jnp.int32),
+            best0)
+    (x, z, y, _, _, _, it, prim, dual, done, status,
+     (xb, zb, yb, pb, db)) = jax.lax.while_loop(cond, segment, init)
+    adopt = jnp.maximum(pb, db) < jnp.maximum(prim, dual)
+    takeb = lambda a, b: jnp.where(adopt, a, b)
+    x, z, y = takeb(xb, x), takeb(zb, z), takeb(yb, y)
+    prim = jnp.where(adopt, pb, prim)
+    dual = jnp.where(adopt, db, dual)
+    del done  # loop-exit flag; includes infeasible exits
+    status = jnp.asarray(status, jnp.int32)
     return QPSolution(x=D * x, y=E * y / c, z=z / E, iterations=it,
-                      prim_res=prim, dual_res=dual, converged=done)
+                      prim_res=prim, dual_res=dual,
+                      converged=(status == STATUS_SOLVED), status=status)

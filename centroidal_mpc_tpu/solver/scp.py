@@ -87,6 +87,10 @@ class ScpSolution(struct.PyTreeNode):
     iterations: jnp.ndarray   # int: SCP iterations executed
     qp_iterations: jnp.ndarray  # int: cumulative ADMM iterations
     qp_converged: jnp.ndarray   # bool: all QP subproblems converged
+    qp_status: jnp.ndarray      # int32 ops.admm.STATUS_* of the last QP
+                                # (PRIMAL/DUAL_INFEASIBLE certify the
+                                # abort cause, vs the reference's bare
+                                # False return, src/scp_solver.py:146-148)
     radius: jnp.ndarray
     weight: jnp.ndarray
     rho: jnp.ndarray          # model-accuracy ratio of the last iteration
@@ -135,6 +139,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         accepted: jnp.ndarray
         qp_iters: jnp.ndarray
         qp_ok: jnp.ndarray
+        qp_status: jnp.ndarray
         rho: jnp.ndarray
         conv: jnp.ndarray
         warm_x: jnp.ndarray
@@ -153,6 +158,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         accepted=jnp.zeros((), jnp.int32),
         qp_iters=jnp.zeros((), jnp.int32),
         qp_ok=jnp.asarray(True),
+        qp_status=jnp.zeros((), jnp.int32),
         rho=jnp.zeros((), dtype),
         conv=jnp.zeros((), dtype),
         # Block backend: primal warm start from the linearization
@@ -227,6 +233,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
                                           U_sol.reshape(-1)])
             sol_warm_y, sol_warm_t = bsol.y, bsol.t
             sol_iters, sol_converged = bsol.iterations, bsol.converged
+            sol_status = bsol.status
         else:
             qp = build_qp(model, schedule, cfg, c.X_lin, c.U_lin, data,
                           c.radius, c.weight)
@@ -236,6 +243,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
                           + model.n_u * N].reshape(N, model.n_u)
             sol_warm_x, sol_warm_y, sol_warm_t = sol.x, sol.y, c.warm_t
             sol_iters, sol_converged = sol.iterations, sol.converged
+            sol_status = sol.status
 
         inside = (_matrix_norm2(X_sol - c.X_cmp, settings.norm_method)
                   < c.radius)
@@ -278,6 +286,7 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
             accepted=c.accepted + accept.astype(jnp.int32),
             qp_iters=c.qp_iters + sol_iters,
             qp_ok=c.qp_ok & sol_converged,
+            qp_status=sol_status,
             rho=rho, conv=conv, warm_x=sol_warm_x, warm_y=sol_warm_y,
             warm_t=sol_warm_t)
 
@@ -286,4 +295,5 @@ def solve_scp(model: CentroidalModel, schedule: ContactSchedule,
         X=c.X_acc, U=c.U_acc, K=c.K_acc, Sigma=c.Sigma_acc,
         success=c.success, accepted=c.accepted, iterations=c.it,
         qp_iterations=c.qp_iters, qp_converged=c.qp_ok,
+        qp_status=c.qp_status,
         radius=c.radius, weight=c.weight, rho=c.rho)

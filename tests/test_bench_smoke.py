@@ -57,23 +57,28 @@ def run_bench(extra):
     return record
 
 
+SKIP_EXTRAS = ["--no-stochastic", "--no-mpc", "--no-n165",
+               "--latency-probes", "0", "--chip-latency-problems", "0"]
+
 TRACE_COMBOS = [
-    # the round-2 crash path: polish through the batched pallas loop +
-    # the accuracy-tier table + kernel parity + the latency-probe shape
+    # the full default record: polish through the batched pallas loop,
+    # the accuracy-tier table, kernel parity + exact, the latency-probe
+    # shape, the stochastic record and the MPC tick chain (N=165 is
+    # never traced -- n165_record is skipped under --trace-only)
     ["--factor", "pallas", "--polish", "--batch", str(PALLAS_MIN_BATCH),
-     "--latency-probes", "2"],
+     "--latency-probes", "2", "--no-n165"],
     ["--factor", "pallas", "--rho", "always",
-     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity",
-     "--latency-probes", "0"],
-    ["--factor", "pallas", "--stochastic",
-     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity",
-     "--latency-probes", "0"],
-    ["--factor", "cholesky", "--polish", "--batch", "1", "--no-accuracy",
-     "--latency-probes", "0"],
+     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity"]
+    + SKIP_EXTRAS,
+    ["--factor", "pallas", "--no-polish",
+     "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity"]
+    + SKIP_EXTRAS,
+    ["--factor", "cholesky", "--polish", "--batch", "1", "--no-accuracy"]
+    + SKIP_EXTRAS,
     ["--factor", "thomas", "--sweep", "assoc", "--batch", "2",
-     "--no-accuracy", "--latency-probes", "0"],
+     "--no-accuracy"] + SKIP_EXTRAS,
     ["--factor", "pallas_fused", "--batch", str(PALLAS_MIN_BATCH),
-     "--no-accuracy", "--no-parity", "--latency-probes", "0"],
+     "--no-accuracy", "--no-parity"] + SKIP_EXTRAS,
 ]
 
 
@@ -94,6 +99,6 @@ def test_execute_pallas_polish_batched():
     and every scenario converges on the tiny problem."""
     rec = run_bench(["--factor", "pallas", "--polish",
                      "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy",
-                     "--no-parity", "--latency-probes", "0"])
+                     "--no-parity"] + SKIP_EXTRAS)
     assert rec["value"] > 0
     assert rec["n_success"] == PALLAS_MIN_BATCH

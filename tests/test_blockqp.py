@@ -1,6 +1,8 @@
 """Block-structured QP solver tests: equivalence with the dense path."""
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -208,3 +210,36 @@ def test_polish_never_degrades(problem):
             qp_b, dataclasses.replace(base, polish=True))
         assert float(pol.prim_res) <= float(raw.prim_res) + 1e-12
         assert float(pol.dual_res) <= float(raw.dual_res) + 1e-12
+
+
+def test_f32_polish_reaches_parity_bar(problem):
+    """SURVEY section-7c mixed-precision refinement (VERDICT round 3,
+    item 1): a LOOSE (eps=5e-4, ~90 iteration) float32 solve plus the
+    residual-form refinement polish reaches the BASELINE 1e-4-class
+    parity bar against a tight (eps=1e-9 + polish) float64 reference --
+    the f32-on-TPU accuracy story, verified here on the CPU backend
+    (same arithmetic, same code path)."""
+    prob, data = problem
+    qp64 = blockqp.build_block_qp(prob.model, prob.plan.schedule,
+                                  prob.ocp, prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    tight = QPSettings(eps_abs=1e-9, eps_rel=1e-9, max_iter=40000,
+                       adaptive_rho=True, polish=True)
+    w064 = blockqp.WVars(x=prob.X0, u=prob.U0,
+                         t=jnp.zeros(prob.X0.shape[0], jnp.float64))
+    ref = blockqp.solve_block_qp(qp64, tight, w0=w064)
+    assert bool(ref.converged)
+
+    qp32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, qp64)
+    loose = QPSettings(eps_abs=5e-4, eps_rel=5e-4, max_iter=4000,
+                       adaptive_rho=False, check_interval=10, alpha=1.7,
+                       polish=True)
+    w032 = jax.tree.map(lambda a: a.astype(jnp.float32), w064)
+    sol = blockqp.solve_block_qp(qp32, loose, w0=w032)
+    assert bool(sol.converged)
+    x_err = float(jnp.abs(sol.X.astype(jnp.float64) - ref.X).max())
+    u_err = float(jnp.abs(sol.U.astype(jnp.float64) - ref.U).max())
+    assert x_err < 1e-4, x_err
+    assert u_err < 1e-4, u_err

@@ -1,0 +1,174 @@
+"""Primal/dual infeasibility certificates (OSQP delta-x/delta-y tests).
+
+The reference relies on OSQP's infeasibility detection and aborts its SCP
+loop on those statuses (src/scp_solver.py:59-68).  These tests verify the
+jitted equivalents in ops/admm.py (dense) and ops/blockqp.py (block):
+an infeasible QP exits with a distinct STATUS_* code in far fewer than
+max_iter iterations, and feasible solves never false-positive.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centroidal_mpc_tpu.config import presets
+from centroidal_mpc_tpu.models.centroidal import N_X, compute_trajectory_data
+from centroidal_mpc_tpu.ops import blockqp
+from centroidal_mpc_tpu.ops.admm import (QPSettings, STATUS_DUAL_INFEASIBLE,
+                                         STATUS_PRIMAL_INFEASIBLE,
+                                         STATUS_SOLVED, solve_qp)
+from centroidal_mpc_tpu.solver.ocp import INF, QPData, sign_enumeration_matrix
+
+SETTINGS = QPSettings(max_iter=4000, eps_abs=1e-6, eps_rel=1e-6)
+
+
+def test_dense_primal_infeasible():
+    """x <= 0 and x >= 1 cannot both hold."""
+    qp = QPData(P=jnp.eye(1), q=jnp.zeros(1),
+                A=jnp.asarray([[1.0], [1.0]]),
+                l=jnp.asarray([-INF, 1.0]), u=jnp.asarray([0.0, INF]))
+    sol = solve_qp(qp, SETTINGS)
+    assert int(sol.status) == STATUS_PRIMAL_INFEASIBLE
+    assert not bool(sol.converged)
+    assert int(sol.iterations) < SETTINGS.max_iter / 4
+
+
+def test_dense_dual_infeasible():
+    """min -x s.t. x >= 0 is unbounded below."""
+    qp = QPData(P=jnp.zeros((1, 1)), q=jnp.asarray([-1.0]),
+                A=jnp.asarray([[1.0]]),
+                l=jnp.asarray([0.0]), u=jnp.asarray([INF]))
+    sol = solve_qp(qp, SETTINGS)
+    assert int(sol.status) == STATUS_DUAL_INFEASIBLE
+    assert not bool(sol.converged)
+    assert int(sol.iterations) < SETTINGS.max_iter / 4
+
+
+def _mini_block_qp(dtype=jnp.float64, *, x_final_offset=0.0,
+                   qx_drive=0.0, B_scale=0.0, Wscale=1.0):
+    """Hand-crafted miniature BlockQP (N=2, C=1, point3 layout).
+
+    Dynamics x_{k+1} = x_k + B_scale * u_k; init row pins x_0 = 0,
+    final row pins x_N = x_final_offset * e_0.  With B_scale = 0 and
+    x_final_offset != 0 the equalities conflict (primal infeasible).
+    With Wscale = 0, qx_drive < 0 on coordinate 0, B_scale = 1 and a
+    free final state, the cost is unbounded below along growing u
+    (dual infeasible).
+    """
+    N, C, nu = 2, 1, 3
+    free = x_final_offset is None
+    x_final = jnp.zeros(N_X, dtype) if free else (
+        jnp.zeros(N_X, dtype).at[0].set(x_final_offset))
+    B = jnp.zeros((N, N_X, nu), dtype).at[:, 0, 0].set(B_scale)
+    penum = sign_enumeration_matrix(3, dtype)
+    return blockqp.BlockQP(
+        Wx=Wscale * jnp.eye(N_X, dtype=dtype),
+        Wu=Wscale * jnp.eye(nu, dtype=dtype),
+        qx=jnp.full((N + 1, N_X), 0.0, dtype).at[:, 0].set(qx_drive),
+        qt=jnp.ones(N + 1, dtype),
+        A=jnp.broadcast_to(jnp.eye(N_X, dtype=dtype), (N, N_X, N_X)),
+        B=B,
+        r_dyn=jnp.zeros((N, N_X), dtype),
+        x_init=jnp.zeros(N_X, dtype),
+        final_l=jnp.full(N_X, -INF, dtype) if free else x_final,
+        final_u=jnp.full(N_X, INF, dtype) if free else x_final,
+        G=jnp.zeros((N, C, 5, nu), dtype),
+        fric_ub=jnp.zeros((N, C, 5), dtype),
+        cop_act=jnp.zeros((N, C, 2), dtype),
+        cop_l=jnp.zeros((N, C, 2), dtype),
+        cop_u=jnp.zeros((N, C, 2), dtype),
+        penum=penum,
+        inv_omega=jnp.asarray(0.01, dtype),
+        trust_ub=jnp.full((N + 1, 8), 1e3, dtype),
+    )
+
+
+def test_block_primal_infeasible():
+    """Conflicting init/final equalities with uncontrollable dynamics."""
+    qp = _mini_block_qp(x_final_offset=1.0, B_scale=0.0)
+    sol = blockqp.solve_block_qp(qp, SETTINGS)
+    assert int(sol.status) == STATUS_PRIMAL_INFEASIBLE
+    assert not bool(sol.converged)
+    assert int(sol.iterations) < SETTINGS.max_iter / 4
+
+
+def test_block_dual_infeasible():
+    """Zero cost curvature + linear drive along a controllable, fully
+    unconstrained direction: unbounded below."""
+    qp = _mini_block_qp(x_final_offset=None, qx_drive=-1.0, B_scale=1.0,
+                        Wscale=0.0)
+    sol = blockqp.solve_block_qp(qp, SETTINGS)
+    assert int(sol.status) == STATUS_DUAL_INFEASIBLE
+    assert not bool(sol.converged)
+    assert int(sol.iterations) < SETTINGS.max_iter / 4
+
+
+def test_block_feasible_still_solves():
+    """The same miniature problem, made consistent, reports SOLVED --
+    certificates never false-positive on a feasible/bounded QP."""
+    qp = _mini_block_qp(x_final_offset=0.0, B_scale=1.0)
+    sol = blockqp.solve_block_qp(qp, SETTINGS)
+    assert int(sol.status) == STATUS_SOLVED
+    assert bool(sol.converged)
+
+
+def test_real_problem_not_flagged_infeasible():
+    """A real (feasible) trot QP still converges with certificates on."""
+    prob = presets.build_problem(presets.SOLO12_TROT_N50,
+                                 dtype=jnp.float64)
+    data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                   prob.X0, prob.U0)
+    qp = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                prob.X0, prob.U0, data,
+                                jnp.asarray(100.0), jnp.asarray(100.0))
+    sol = blockqp.solve_block_qp(qp, dataclasses.replace(
+        SETTINGS, eps_abs=1e-5, eps_rel=1e-5))
+    assert int(sol.status) == STATUS_SOLVED
+    assert bool(sol.converged)
+
+
+def test_batched_block_certificates():
+    """Under vmap (the batched kernel-loop path), mixed feasible and
+    infeasible scenarios are certified independently."""
+    qp_inf = _mini_block_qp(x_final_offset=1.0, B_scale=0.0)
+    qp_ok = _mini_block_qp(x_final_offset=0.0, B_scale=1.0)
+    batch = jax.tree.map(lambda a, b: jnp.stack([a, b]), qp_inf, qp_ok)
+    sol = jax.vmap(lambda q: blockqp.solve_block_qp(q, SETTINGS))(batch)
+    assert int(sol.status[0]) == STATUS_PRIMAL_INFEASIBLE
+    assert int(sol.status[1]) == STATUS_SOLVED
+    assert not bool(sol.converged[0]) and bool(sol.converged[1])
+
+
+@pytest.mark.slow
+def test_full_horizon_stochastic_certified_infeasible():
+    """The known-infeasible case (PARITY.md 'full-horizon stochastic
+    infeasibility'): N=165 trot, stochastic, with the reference's
+    2-iteration DARE gains -- the chance back-offs drive active friction
+    bounds to ~-5.9 N and the QP has no feasible point (confirmed
+    independently: scipy HiGHS LP feasibility on the assembled rows
+    returns Infeasible).  With certificates the solver exits
+    PRIMAL_INFEASIBLE in well under the 4000-iteration budget instead of
+    burning it (VERDICT round 3 item 3).
+
+    rho is held fixed at 10: the delta-y certificate ray emerges at a
+    rate set by the ADMM contraction, and rho re-adaptation restarts
+    that emergence (measured: fixed rho=10 certifies at 2550 iterations;
+    adaptive modes have not certified by 4000).
+    """
+    from centroidal_mpc_tpu.solver.ocp import _chance_backoffs
+
+    prob = presets.build_problem(presets.SOLO12_TROT, stochastic=True,
+                                 dtype=jnp.float64)
+    data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                   prob.X0, prob.U0, lqr_iters=2,
+                                   with_covariance=True)
+    qp = blockqp.build_block_qp(prob.model, prob.plan.schedule, prob.ocp,
+                                prob.X0, prob.U0, data,
+                                jnp.asarray(100.0), jnp.asarray(100.0))
+    assert float(qp.fric_ub.min()) < -1.0  # the poisoned bounds
+    st = dataclasses.replace(SETTINGS, rho=10.0, adaptive_rho=False)
+    sol = blockqp.solve_block_qp(qp, st)
+    assert int(sol.status) == STATUS_PRIMAL_INFEASIBLE
+    assert int(sol.iterations) < st.max_iter

@@ -1,0 +1,115 @@
+"""Numeric correctness of the alternative block-tridiagonal backends.
+
+VERDICT round 3, weak item 4: sweep_method='assoc' and
+factor_method='thomas' were exercised only by the trace-only smoke
+matrix -- a wrong associative combine or a wrong Schur recursion would
+have passed CI.  These tests pin both to the cholesky/scan path
+numerically (CPU, f64), including full solve_block_qp iterate-sequence
+equality, so a regression fails CI rather than only surfacing at bench
+time.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centroidal_mpc_tpu.config import presets
+from centroidal_mpc_tpu.models.centroidal import compute_trajectory_data
+from centroidal_mpc_tpu.ops import blockqp
+from centroidal_mpc_tpu.ops.admm import QPSettings
+
+
+def _random_block_tridiag(key, n, v, dtype=jnp.float64):
+    k1, k2, k3 = jax.random.split(key, 3)
+    off = 0.3 * jax.random.normal(k1, (n, v, v), dtype)
+    r = jax.random.normal(k2, (n + 1, v, v), dtype)
+    diag = jnp.einsum("kij,klj->kil", r, r) / v + 2.0 * jnp.eye(
+        v, dtype=dtype)
+    diag = diag + 2.0 * jnp.eye(v, dtype=dtype) * jnp.abs(off).sum(
+        axis=(1, 2)).max()
+    rhs = jax.random.normal(k3, (n + 1, v), dtype)
+    return diag, off, rhs
+
+
+def _apply_m(diag, off, w):
+    out = jnp.einsum("kij,kj->ki", diag, w)
+    out = out.at[1:].add(jnp.einsum("kij,kj->ki", off, w[:-1]))
+    out = out.at[:-1].add(jnp.einsum("kji,kj->ki", off, w[1:]))
+    return out
+
+
+@pytest.mark.parametrize("n,v", [(7, 22), (24, 9), (1, 5)])
+def test_assoc_sweep_matches_scan(n, v):
+    """The log-depth associative sweeps produce the same solution as the
+    sequential scans on the same factorization."""
+    diag, off, rhs = _random_block_tridiag(jax.random.PRNGKey(0), n, v)
+    fac = blockqp._block_tridiag_cholesky(diag, off)
+    w_scan = blockqp._block_tridiag_solve(fac, rhs, "scan")
+    w_assoc = blockqp._block_tridiag_solve(fac, rhs, "assoc")
+    np.testing.assert_allclose(np.asarray(w_assoc), np.asarray(w_scan),
+                               rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("n,v", [(7, 22), (24, 9)])
+def test_thomas_factorization_solves_M(n, v):
+    """Thomas (Newton-Schulz Schur inverses) actually inverts M."""
+    diag, off, rhs = _random_block_tridiag(jax.random.PRNGKey(1), n, v)
+    fac = blockqp._block_tridiag_thomas(diag, off)
+    w = blockqp._block_thomas_solve(fac, rhs)
+    np.testing.assert_allclose(np.asarray(_apply_m(diag, off, w)),
+                               np.asarray(rhs), rtol=1e-7, atol=1e-7)
+
+
+def _tiny_problem():
+    preset = dataclasses.replace(
+        presets.SOLO12_TROT_N50,
+        gait=dataclasses.replace(presets.SOLO12_TROT_N50.gait,
+                                 step_knots=6, support_knots=2, nb_steps=1))
+    prob = presets.build_problem(preset, dtype=jnp.float64)
+    data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                   prob.X0, prob.U0, with_covariance=False)
+    qp = blockqp.build_block_qp(
+        prob.model, prob.plan.schedule, prob.ocp, prob.X0, prob.U0, data,
+        jnp.asarray(100.0, jnp.float64), jnp.asarray(100.0, jnp.float64))
+    w0 = blockqp.WVars(x=prob.X0, u=prob.U0,
+                       t=jnp.zeros(prob.X0.shape[0], jnp.float64))
+    return qp, w0
+
+
+def _solve(qp, w0, **overrides):
+    st = QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=2000,
+                    adaptive_rho=True, adaptive_rho_mode="always",
+                    **overrides)
+    return blockqp.solve_block_qp(qp, st, w0=w0)
+
+
+def test_solve_block_qp_assoc_iterate_sequence():
+    """Full solve with sweep_method='assoc' walks the same iterate
+    sequence as 'scan' (equal iteration counts, tight X/U parity)."""
+    qp, w0 = _tiny_problem()
+    sol_s = _solve(qp, w0, sweep_method="scan")
+    sol_a = _solve(qp, w0, sweep_method="assoc")
+    assert bool(sol_s.converged) and bool(sol_a.converged)
+    np.testing.assert_array_equal(np.asarray(sol_a.iterations),
+                                  np.asarray(sol_s.iterations))
+    np.testing.assert_allclose(np.asarray(sol_a.X), np.asarray(sol_s.X),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_a.U), np.asarray(sol_s.U),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_solve_block_qp_thomas_matches_cholesky():
+    """factor_method='thomas' solves the same QP to the same tolerance;
+    solutions agree within the termination band (the Newton-Schulz
+    inverses differ from the Cholesky factors at roundoff level, so
+    iterate sequences may split at the iteration granularity)."""
+    qp, w0 = _tiny_problem()
+    sol_c = _solve(qp, w0, factor_method="cholesky")
+    sol_t = _solve(qp, w0, factor_method="thomas")
+    assert bool(sol_c.converged) and bool(sol_t.converged)
+    np.testing.assert_allclose(np.asarray(sol_t.X), np.asarray(sol_c.X),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sol_t.U), np.asarray(sol_c.U),
+                               rtol=1e-4, atol=1e-4)
