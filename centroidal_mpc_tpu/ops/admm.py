@@ -80,11 +80,11 @@ class QPSettings:
     # adaptive_rho_mode='always'; interpret-mode on CPU), or 'thomas'
     # (Newton-Schulz Schur-complement inverses, matmul-only -- the
     # inverse error compounds through the knot recursion and breaks f32
-    # convergence on TPU; CPU-validated, experimental), or 'pallas_fused'
-    # (the pallas kernels PLUS the whole ADMM iteration fused into the
-    # two sweep launches, ops/pallas_admm_iter -- measured slower than
-    # 'pallas' at batch 128/N=50 due to the row-matrix stream; opt-in
-    # experimental, see PARITY.md round 3).  Ignored by the dense solver.
+    # convergence on TPU; CPU-validated, experimental).  A fully-fused
+    # whole-iteration kernel ('pallas_fused', round 3) was measured
+    # structurally slower -- its generic row-matrix operator stream
+    # exceeds the XLA glue it eliminates -- and was removed in round 4
+    # (roofline analysis in PARITY.md).  Ignored by the dense solver.
     factor_method: str = "cholesky"
     # Block-solver sweep lowering: 'scan' (sequential, throughput default)
     # or 'assoc' (log-depth associative scan; fewer dependent steps for

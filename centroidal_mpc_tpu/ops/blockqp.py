@@ -892,13 +892,6 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
     alpha = settings.alpha
     n_segments = -(-settings.max_iter // settings.check_interval)
     use_kernels = B >= PALLAS_MIN_BATCH
-    # 'pallas_fused' additionally folds the whole ADMM iteration into
-    # the sweep launches (ops/pallas_admm_iter).  Measured SLOWER at
-    # batch 128 / N=50 (28.2 vs 18.1 ms: the generic (R, V) row-matrix
-    # stream adds ~6 KB/knot/lane/iteration, more than the fused-launch
-    # savings), so it is opt-in -- the representation is the right
-    # substrate for a future compact-operator variant.
-    use_fused = use_kernels and settings.factor_method == "pallas_fused"
 
     vA = jax.vmap(_apply_A)
     vAT = jax.vmap(_apply_AT)
@@ -914,19 +907,6 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
     if use_kernels:
         factorize = pbq.factor_batched
         backsolve = pbq.solve_batched
-        if use_fused:
-            # fused-iteration path (ops/pallas_admm_iter): the whole
-            # ADMM iteration -- A'/A applications, relaxation,
-            # projection, dual update -- runs inside the two sweep
-            # launches; the row-matrix representation and bounds are
-            # iteration-invariant, built once
-            from centroidal_mpc_tpu.ops import pallas_admm_iter as pai
-            lay = pai.layout_of(s)
-            bp = -(-B // pbq.LANES) * pbq.LANES
-            mrow_km, ih_km = pai.build_rowmat(lay, s, bp)
-            q_km = pai.pack_w(lay, s.q, bp)
-            l_km = pai.pack_rows(lay, s.l, bp, pad_value=-INF)
-            u_km = pai.pack_rows(lay, s.u, bp, pad_value=INF)
     else:
         factorize = jax.vmap(_block_tridiag_cholesky)
         backsolve = jax.vmap(lambda f, r: _block_tridiag_solve(
@@ -973,21 +953,8 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
                               zip(y, rho_g, z_rel, z_new)))
             return w_new, z_new, y_new
 
-        if use_fused:
-            rho_km = pai.pack_rows(lay, rho_g, bp, pad_value=1.0)
-            wk = pai.pack_w(lay, w, bp)
-            zk = pai.pack_rows(lay, z, bp)
-            yk = pai.pack_rows(lay, y, bp)
-            wk, zk, yk = pai.iterate_batched(
-                lay, fac, mrow_km, ih_km, q_km, l_km, u_km, rho_km,
-                wk, zk, yk, float(settings.sigma), float(alpha),
-                settings.check_interval)
-            w2 = pai.unpack_w(lay, wk, B, w)
-            z2 = pai.unpack_rows(lay, zk, B, z)
-            y2 = pai.unpack_rows(lay, yk, B, y)
-        else:
-            w2, z2, y2 = jax.lax.fori_loop(0, settings.check_interval,
-                                           admm_iter, (w, z, y))
+        w2, z2, y2 = jax.lax.fori_loop(0, settings.check_interval,
+                                       admm_iter, (w, z, y))
 
         (prim, dual, eps_prim, eps_dual,
          prim_scale, dual_scale) = vres(s, w2, z2, y2)
@@ -1153,7 +1120,7 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
 
     cond_mode = (settings.adaptive_rho
                  and settings.adaptive_rho_mode != "always")
-    pallas_loop = (settings.factor_method in ("pallas", "pallas_fused")
+    pallas_loop = (settings.factor_method == "pallas"
                    and not cond_mode)
 
     if settings.factor_method == "thomas":

@@ -77,8 +77,6 @@ TRACE_COMBOS = [
     + SKIP_EXTRAS,
     ["--factor", "thomas", "--sweep", "assoc", "--batch", "2",
      "--no-accuracy"] + SKIP_EXTRAS,
-    ["--factor", "pallas_fused", "--batch", str(PALLAS_MIN_BATCH),
-     "--no-accuracy", "--no-parity"] + SKIP_EXTRAS,
 ]
 
 

@@ -79,12 +79,7 @@ def test_factor_batched_large_batch_padding():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("pallas_method", [
-    "pallas",
-    pytest.param("pallas_fused", marks=pytest.mark.slow),  # opt-in path:
-    # fused-iteration kernels (ops/pallas_admm_iter), interpret mode is
-    # expensive so the leg runs with the slow suite
-])
+@pytest.mark.parametrize("pallas_method", ["pallas"])
 def test_solve_block_qp_pallas_backend_parity(pallas_method):
     """Full batched SCP-subproblem solve: the pallas factor methods walk
     the SAME iterate sequence as 'cholesky' on a real (small) trot QP
