@@ -779,6 +779,7 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
         return ZGroups(*masks), ZGroups(*targets)
 
     w_p, y_p = w, y
+    Aw = applyA(s, w_p)   # maintained as A w_p across rounds/iterations
     for rnd in range(settings.polish_rounds):
         # rho/sigma ramp: later rounds raise the penalty (faster
         # multiplier contraction on near-degenerate active-row
@@ -786,7 +787,7 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
         ramp = settings.polish_rho_ramp ** rnd
         beta = jnp.asarray(settings.polish_rho * ramp, dtype)
         dsig = jnp.asarray(settings.polish_sigma * ramp, dtype) - sigma
-        mask, b_a = detect(applyA(s, w_p), y_p)
+        mask, b_a = detect(Aw, y_p)
         rho_p = ZGroups(*(m.astype(dtype) * beta for m in mask))
         diag, off = assemble(s, rho_p)
         # lift the proximal regularization to polish_sigma (identity
@@ -797,7 +798,6 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
         y_p = ZGroups(*(jnp.where(m, yy, 0.0)
                         for m, yy in zip(mask, y_p)))
         for _ in range(settings.polish_iters):
-            Aw = applyA(s, w_p)
             r_p = ZGroups(*(rr * (bb - aa) for rr, bb, aa in
                             zip(rho_p, b_a, Aw)))            # rho-scaled
             rpy = ZGroups(*(rp - yy for rp, yy in zip(r_p, y_p)))
@@ -805,9 +805,9 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
                         applyP(w_p), s.q, applyAT(s, rpy))
             dw = unpack(backsolve(fac_p, pack(rhs)))
             w_p = _wmap(lambda a, b: a + b, w_p, dw)
-            Aw2 = applyA(s, w_p)
+            Aw = applyA(s, w_p)
             y_p = ZGroups(*(yy + rr * (aa - bb) for yy, rr, aa, bb in
-                            zip(y_p, rho_p, Aw2, b_a)))
+                            zip(y_p, rho_p, Aw, b_a)))
 
     if settings.polish_cg_iters > 0:
         # Dual refinement by CG.  The ALM multiplier update above is
@@ -851,8 +851,9 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
                 rr_old = rr_new
             y_p = ZGroups(*(yy + d for yy, d in zip(y_p, dy)))
 
+    # CG moved only y, so Aw still equals A w_p here
     z_p = ZGroups(*(jnp.clip(aa, lo, hi) for aa, lo, hi in
-                    zip(applyA(s, w_p), s.l, s.u)))
+                    zip(Aw, s.l, s.u)))
     return w_p, z_p, y_p
 
 
