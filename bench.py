@@ -216,7 +216,10 @@ def qp_settings(args, eps=None, polish=None):
         # 1 restart (measured 4,374 vs 3,794 solves/s at u_err 5.9e-5
         # vs 3.0e-5 -- both well inside the 1e-4 bar).  The tight tiers
         # restore the full CG budget via per-tier overrides.
-        polish_cg_iters=8, polish_cg_restarts=1,
+        polish_iters=args.polish_alm_iters,
+        polish_rounds=args.polish_rounds,
+        polish_cg_iters=args.polish_cg_iters,
+        polish_cg_restarts=args.polish_cg_restarts,
         # below the f32 ADMM floor (tight-eps tiers) the loop stalls;
         # exit after 30 no-improvement checks and let the refinement
         # polish close the gap instead of burning qp_max_iter
@@ -590,6 +593,12 @@ def build_parser():
                     help="ADMM over-relaxation (1.7 converges in ~92 "
                          "iters vs 96 at the OSQP-default 1.6; 1.9 "
                          "diverges on this problem family)")
+    ap.add_argument("--polish-alm-iters", type=int, default=12,
+                    help="refinement-polish ALM sweeps per round")
+    ap.add_argument("--polish-rounds", type=int, default=2)
+    ap.add_argument("--polish-cg-iters", type=int, default=8,
+                    help="dual-refinement CG iterations per phase")
+    ap.add_argument("--polish-cg-restarts", type=int, default=1)
     ap.add_argument("--stall-segments", type=int, default=30,
                     help="no-improvement residual checks before the "
                          "ADMM loop hands over to the polish (0 "

@@ -780,7 +780,9 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
 
     w_p, y_p = w, y
     Aw = applyA(s, w_p)   # maintained as A w_p across rounds/iterations
-    for rnd in range(settings.polish_rounds):
+    # at least one round: the CG block below needs a detected active
+    # set and its factorization
+    for rnd in range(max(settings.polish_rounds, 1)):
         # rho/sigma ramp: later rounds raise the penalty (faster
         # multiplier contraction on near-degenerate active-row
         # directions) while cond(M) ~ rho/sigma stays f32-safe
@@ -885,7 +887,7 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
                        settings: QPSettings, nx: int, nu: int):
     """Fixed/'always'-rho ADMM loop (+ optional polish), leading batch
     axis on every leaf of s/w/y.  Returns (w, z, y, it, prim, dual,
-    done) with (B,)-shaped termination state."""
+    done, status) with (B,)-shaped termination state."""
     from centroidal_mpc_tpu.ops import pallas_blockqp as pbq
     B = s.sh.shape[0]
     dtype = s.sh.dtype

@@ -95,8 +95,13 @@ def test_trace_every_bench_configuration(combo):
 def test_execute_pallas_polish_batched():
     """The batched pallas+polish path runs end-to-end (interpret kernels)
     and every scenario converges on the tiny problem."""
+    # tiny polish budgets: the full 12x2 ALM + CG program in interpret
+    # mode is a multi-10-minute XLA:CPU compile; 2x1 ALM + 2 CG
+    # exercises every code path at smoke cost
     rec = run_bench(["--factor", "pallas", "--polish",
                      "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy",
-                     "--no-parity"] + SKIP_EXTRAS)
+                     "--no-parity", "--polish-alm-iters", "2",
+                     "--polish-rounds", "1", "--polish-cg-iters", "2",
+                     "--polish-cg-restarts", "1"] + SKIP_EXTRAS)
     assert rec["value"] > 0
     assert rec["n_success"] == PALLAS_MIN_BATCH
