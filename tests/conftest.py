@@ -32,6 +32,16 @@ jax.config.update("jax_enable_x64", True)
 # both xdist and serial), so the fault is XLA:CPU executable
 # deserialization on this platform, not the compression codec.  The
 # cache therefore stays off for correctness runs.
+#
+# ROUND-4 REFINEMENT: the crash class is broader than the cache -- with
+# the cache OFF, single-process runs of the full fast suite died twice
+# (2026-08-21) with SIGSEGV/SIGABRT inside backend_compile_and_load at
+# the ~60th test (test_infeasibility::test_real_problem_not_flagged_
+# infeasible), while the SAME test passes in 25 s in a fresh process
+# and every test file passes in per-file processes.  The fault is
+# XLA:CPU compiler state in long-lived processes on this platform.
+# Reliable local recipe: run per-file (for f in tests/test_*.py; do
+# pytest $f; done) or accept occasional worker crashes under xdist.
 if os.environ.get("CMPC_JAX_CACHE") == "1":
     from jax._src import compilation_cache as _cc
 
