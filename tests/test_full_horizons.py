@@ -57,9 +57,19 @@ def test_full_horizon_solves(name, preset):
                          ids=[c[0] for c in FULL_CASES[:3]])
 def test_full_horizon_stochastic(name, preset):
     """Chance-constrained solves at the shipped solo12 horizons with the
-    stabilized 30-iteration DARE gains (PARITY.md 'Notable findings')."""
+    stabilized 30-iteration DARE gains (PARITY.md 'Notable findings').
+
+    qp_backend='block': the dense reference-layout solver streams the
+    full (6300, 3800) f64 constraint matrix (~190 MB) per matvec at
+    N=165; the harder stochastic solves run thousands of ADMM
+    iterations and took ~1 h each on the dense path (round-4 finding).
+    The block solver does the same math on per-knot blocks in seconds;
+    dense-vs-block equivalence is pinned by tests/test_blockqp.py and
+    the dense path keeps full-scale coverage via the nominal cases
+    above."""
     prob = presets.build_problem(preset, stochastic=True, dtype=jnp.float64)
-    scp = dataclasses.replace(prob.scp, lqr_iters=30)
+    scp = dataclasses.replace(prob.scp, lqr_iters=30,
+                              qp_backend="block")
     sol = solve_scp(prob.model, prob.plan.schedule, prob.ocp,
                     prob.X0, prob.U0, scp)
     assert bool(sol.success), name
