@@ -53,11 +53,12 @@ def test_full_horizon_solves(name, preset):
     assert vals[logic > 0].max() <= 1e-4, name
 
 
-@pytest.mark.parametrize("name,preset", FULL_CASES[:3],
-                         ids=[c[0] for c in FULL_CASES[:3]])
+@pytest.mark.parametrize("name,preset", FULL_CASES[:2],
+                         ids=[c[0] for c in FULL_CASES[:2]])
 def test_full_horizon_stochastic(name, preset):
-    """Chance-constrained solves at the shipped solo12 horizons with the
-    stabilized 30-iteration DARE gains (PARITY.md 'Notable findings').
+    """Chance-constrained solves at the shipped solo12 trot/pace
+    horizons with the stabilized 30-iteration DARE gains (PARITY.md
+    'Notable findings').
 
     qp_backend='block': the dense reference-layout solver streams the
     full (6300, 3800) f64 constraint matrix (~190 MB) per matvec at
@@ -76,6 +77,41 @@ def test_full_horizon_stochastic(name, preset):
     # back-offs shrink the force set: stochastic forces sit strictly
     # inside the nominal cone at loaded knots
     assert bool(sol.qp_converged), name
+
+
+def test_full_horizon_stochastic_bound_certified_infeasible():
+    """Chance-constrained BOUND is genuinely infeasible at the
+    reference noise levels (round-4 finding, confirmed independently by
+    a scipy-HiGHS feasibility LP on the assembled rows): more DARE
+    iterations shrink Sigma (trace 111 -> 16) but grow the gains, so
+    the xi*sqrt(K Sigma K') friction back-offs only deepen (min bound
+    -3.9 N at lqr_iters=30, -42 N converged) -- the flight-heavy
+    support pattern cannot afford the chance margins that trot/pace
+    can.  Rounds 2-3 asserted success here: the dense ADMM at eps 1e-7
+    blurred the marginal infeasibility into a numerical 'converged'.
+    The round-4 delta-y certificate reports it honestly (fixed rho --
+    re-adaptation restarts the certificate ray, see
+    test_infeasibility.py)."""
+    from centroidal_mpc_tpu.models.centroidal import \
+        compute_trajectory_data
+    from centroidal_mpc_tpu.ops import blockqp
+    from centroidal_mpc_tpu.ops.admm import (QPSettings,
+                                             STATUS_PRIMAL_INFEASIBLE)
+
+    prob = presets.build_problem(presets.SOLO12_BOUND, stochastic=True,
+                                 dtype=jnp.float64)
+    data = compute_trajectory_data(prob.model, prob.plan.schedule,
+                                   prob.X0, prob.U0, lqr_iters=30,
+                                   with_covariance=True)
+    qp = blockqp.build_block_qp(prob.model, prob.plan.schedule,
+                                prob.ocp, prob.X0, prob.U0, data,
+                                jnp.asarray(100.0), jnp.asarray(100.0))
+    assert float(qp.fric_ub.min()) < -1.0
+    st = QPSettings(max_iter=30000, eps_abs=1e-6, eps_rel=1e-6,
+                    rho=10.0, adaptive_rho=False)
+    sol = blockqp.solve_block_qp(qp, st)
+    assert int(sol.status) == STATUS_PRIMAL_INFEASIBLE
+    assert int(sol.iterations) < st.max_iter
 
 
 def test_full_trot_nonlinear_consistency():
