@@ -99,3 +99,10 @@ TALOS_PACE = GaitSpec(PACE, step_length=0.0, step_height=0.1,
 # Benchmark gait: N = 3*10 + 2*10 = 50 knots, the BASELINE.md horizon.
 SOLO12_TROT_N50 = GaitSpec(TROT, step_length=0.12, step_height=0.1,
                            step_knots=10, support_knots=10, nb_steps=1)
+
+# Reduced-scale demo/CI gait: one step-in-place trot cycle, N=18 knots.
+# step_length=0 keeps the short horizon dynamically feasible (an
+# aggressive step in so few knots violates the friction cone + vertical
+# momentum budget and the QP correctly refuses to converge).
+SOLO12_TROT_MINI = GaitSpec(TROT, step_length=0.0, step_height=0.05,
+                            step_knots=6, support_knots=2, nb_steps=1)

@@ -230,6 +230,13 @@ TALOS_PACE = ProblemPreset(
 SOLO12_TROT_N50 = dataclasses.replace(
     SOLO12_TROT, name="solo12_trot_n50", gait=gaits.SOLO12_TROT_N50)
 
+# Reduced-scale demo/CI preset (N=18 step-in-place trot): the demo
+# notebooks execute end-to-end under this in a slow-marked test
+# (tests/test_notebook.py), standing in for the reference's
+# notebook-as-integration-test role (SURVEY section 4) at CI cost.
+SOLO12_TROT_MINI = dataclasses.replace(
+    SOLO12_TROT, name="solo12_trot_mini", gait=gaits.SOLO12_TROT_MINI)
+
 PRESETS = {p.name: p for p in
            [SOLO12_TROT, SOLO12_PACE, SOLO12_BOUND, BOLT_PACE, TALOS_PACE,
-            SOLO12_TROT_N50]}
+            SOLO12_TROT_N50, SOLO12_TROT_MINI]}
