@@ -122,16 +122,27 @@ class QPSettings:
     # ramping keeps round 1 f32-conservative and sharpens later rounds
     # at constant cond(M).
     polish_rho_ramp: float = 1.0
-    # Dual-refinement CG iterations after the ALM rounds (see
-    # blockqp._polish): the ALM y-update is Richardson iteration on the
-    # dual normal equations and leaves the dual residual O(1) on
-    # near-degenerate active-row directions; CG on the same operators
-    # reaches the f32 dual floor (~3e-2 scaled on the N=50 trot) in
-    # ~15 iterations.  0 disables.
+    # Dual refinement: CG iterations on the ALM-preconditioned dual
+    # normal equations S dy = -A M^-1 g (see blockqp._polish).  The ALM
+    # y-update is Richardson iteration on the same system and leaves
+    # the dual residual O(1) on near-degenerate active-row directions;
+    # CG converges those in ~15 iterations (measured: dual 1.9 -> 0.03
+    # on the N=50 trot QP).  The refined dual is carried as a TWO-FLOAT
+    # (hi, lo) pair between restart phases and through the final
+    # residual evaluation (blockqp._two_sum): the scaled equality duals
+    # sit at O(1e2) while the eps=1e-5 tier must resolve the dual
+    # residual at O(1e-5), so one f32 ulp of y is the size of the whole
+    # residual -- the round-4 "f32 dual floor" (success_frac 0.922) was
+    # this storage/measurement precision, not the Krylov solver (the
+    # dual least-squares optimum over the same detected active rows
+    # sits at ~1e-7 scaled, benchmarks/_probe_lsq.py).  With the
+    # two-float dual the same CG budget certifies 128/128 lanes at
+    # eps=1e-5 on-chip, SURVEY section 7c's "f64 islands" hard part
+    # done at pure-f32 cost (one extra A' application per restart).
+    # 0 disables.
     polish_cg_iters: int = 15
     # CG restart phases with a freshly-evaluated residual (the f32
-    # recurrence drift caps one phase at ~3e-2 scaled dual; a restart
-    # reaches ~1.7e-2 -- below the eps=1e-5 dual threshold).
+    # recurrence drift caps a single phase at ~3e-2 scaled dual).
     polish_cg_restarts: int = 2
     # Stall exit (block solver): leave the ADMM loop early when the
     # best-so-far max(prim, dual) has not improved by >= 1% for this

@@ -678,14 +678,40 @@ def _certificates(s: _Scaled, settings: QPSettings, dw: WVars,
     return pinf, dinf
 
 
+def _two_sum(hi: ZGroups, lo: ZGroups, d: ZGroups):
+    """Accumulate a correction d into the two-float dual (hi, lo):
+    hi' = fl(hi + d) with the exact rounding error folded into lo
+    (Knuth TwoSum, branch-free, no FMA needed).  The scaled equality
+    duals sit at O(1e2) while the eps=1e-5 dual residual must be
+    resolved at O(1e-5) -- one f32 ulp of y (~5e-6) moves A'y by the
+    entire residual magnitude, so a single-f32 dual cannot CARRY a
+    certified tight solution between refinement phases.  Storing y as
+    an unevaluated hi+lo pair (and applying A' to both parts) keeps
+    ~48 bits of the dual at pure-f32 cost."""
+    def one(h, l, dd):
+        s_ = h + dd
+        bb = s_ - h
+        err = (h - (s_ - bb)) + (dd - bb)
+        return s_, l + err
+    out = [one(h, l, dd) for h, l, dd in zip(hi, lo, d)]
+    return (ZGroups(*(o[0] for o in out)), ZGroups(*(o[1] for o in out)))
+
+
 def _residuals(s: _Scaled, settings: QPSettings, w: WVars, z: ZGroups,
-               y: ZGroups):
-    """Unscaled OSQP termination residuals and their relative scales."""
+               y: ZGroups, y_lo: ZGroups | None = None):
+    """Unscaled OSQP termination residuals and their relative scales.
+
+    y_lo: optional low part of a two-float dual (see _two_sum); the
+    dual residual is then evaluated as P w + q + A'y + A'y_lo, which
+    resolves it below the one-ulp-of-y noise floor of a collapsed f32
+    dual."""
     Aw = _apply_A(s, w)
     Pw = WVars(x=jnp.einsum("kij,kj->ki", s.Px, w.x),
                u=jnp.einsum("kij,kj->ki", s.Pu, w.u),
                t=jnp.zeros_like(w.t))
     ATy = _apply_AT(s, y)
+    if y_lo is not None:
+        ATy = _wmap(lambda a, b: a + b, ATy, _apply_AT(s, y_lo))
     prim = _zmax(_zmap(lambda a, b, e: (a - b) / e, Aw, z, s.E))
     dual = _wmax(_wmap(lambda p, q, at, d: (p + q + at) / d,
                        Pw, s.q, ATy, s.D)) / s.c
@@ -732,10 +758,12 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
 
     polish_rounds > 1 re-detects the active set from the polished
     iterate and repeats -- at loose main-loop eps the first detection
-    can mislabel weakly-active rows.  The polished iterate is returned
-    alongside its residuals; the caller keeps whichever of (ADMM,
-    polished) is better, matching OSQP's accept-if-improves semantics.
-    Fixed shapes and no conds: safe under vmap/shard_map.
+    can mislabel weakly-active rows.  Returns (w, z, y, y_lo) where
+    (y, y_lo) is the TWO-FLOAT dual refined by the CG stage (see
+    _two_sum); the caller evaluates residuals with y_lo and keeps
+    whichever of (ADMM, polished) is better, matching OSQP's
+    accept-if-improves semantics.  Fixed shapes and no conds: safe
+    under vmap/shard_map.
 
     The elementwise ZGroups math is shape-polymorphic; the structural
     operators (A application, block assembly, pack/unpack) default to
@@ -750,11 +778,11 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
     assemble = assemble or (lambda s_, r_: _assemble_blocks(s_, r_, sigma))
     pack = pack or (lambda ww: _pack(ww, nx, nu))
     unpack = unpack or (lambda W: _unpack(W, nx, nu))
-    # constraint-space inner product / scalar broadcast (batched loop
-    # passes per-scenario-reducing versions)
+    # field-generic inner product / scalar broadcast over ZGroups or
+    # WVars (batched loop passes per-scenario-reducing versions)
     zdot = zdot or (lambda a, b: sum(jnp.sum(x * yv)
                                      for x, yv in zip(a, b)))
-    zscale = zscale or (lambda c_, z_: ZGroups(*(c_ * v for v in z_)))
+    zscale = zscale or (lambda c_, z_: type(z_)(*(c_ * v for v in z_)))
     atol = settings.polish_active_tol
     ytol = 1e-12
     dtype = s.sh.dtype
@@ -811,15 +839,31 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
             y_p = ZGroups(*(yy + rr * (aa - bb) for yy, rr, aa, bb in
                             zip(y_p, rho_p, Aw, b_a)))
 
+    # two-float dual from here on: the CG/CGLS corrections accumulate
+    # into (y_p, y_lo) via TwoSum and every gradient/residual evaluates
+    # A'y_p + A'y_lo (see _two_sum for why a single f32 dual cannot
+    # carry an eps=1e-5-certified solution)
+    y_lo = ZGroups(*(jnp.zeros_like(v) for v in y_p))
+
     if settings.polish_cg_iters > 0:
-        # Dual refinement by CG.  The ALM multiplier update above is
-        # Richardson iteration on the dual normal equations
-        # S dy = -A M^-1 g with S = A_act M^-1 A_act' -- its slow modes
-        # (near-degenerate active-row directions) leave the dual
-        # residual O(1) long after the primal is exact.  CG on the same
-        # operators converges those modes in ~15 iterations (measured:
-        # dual 1.9 -> 0.03 on the N=50 trot QP, the f32 floor; the
-        # primal is untouched since only y moves).
+        # Dual refinement: CG on the ALM-preconditioned normal
+        # equations S dy = -A M^-1 g with S = A_act M^-1 A_act'.  The
+        # ALM multiplier update above is Richardson iteration on the
+        # same system -- its slow modes (near-degenerate active-row
+        # directions) leave the dual residual O(1) long after the
+        # primal is exact; CG converges them in ~15 iterations
+        # (measured: dual 1.9 -> 0.03 on the N=50 trot QP; the primal
+        # is untouched since only y moves).  Restart phases recompute
+        # the TRUE residual from the updated y -- evaluated against the
+        # TWO-FLOAT dual (y_p, y_lo), which is what lets restarts
+        # actually compound: with a single-f32 y the accepted dy is
+        # rounded away (one ulp of the O(1e2) equality duals is the
+        # size of the whole eps=1e-5 residual) and the measured dual
+        # floors at ~2-3e-2 regardless of iterations -- the round-4
+        # "f32 dual floor", which an f64-island experiment (round 5)
+        # proved was storage/measurement precision, not the Krylov
+        # solver: the dual least-squares optimum over the same active
+        # rows sits at ~1e-7 (benchmarks/_probe_lsq.py).
         maskf = ZGroups(*(m.astype(dtype) for m in mask))
 
         def S_op(v):
@@ -827,13 +871,10 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
             out = applyA(s, unpack(backsolve(fac_p, pack(applyAT(s, vm)))))
             return ZGroups(*(mf * oo for mf, oo in zip(maskf, out)))
 
-        # Restarted CG: each phase recomputes the TRUE residual from the
-        # updated y (the f32 residual-recurrence drift caps a single CG
-        # phase at ~3e-2 scaled dual; a fresh-residual restart reaches
-        # ~1.7e-2 -- below the eps=1e-5 tier's dual threshold).
         for _ in range(max(settings.polish_cg_restarts, 1)):
-            g = _wmap(lambda pw, qq, at: pw + qq + at,
-                      applyP(w_p), s.q, applyAT(s, y_p))
+            g = _wmap(lambda pw, qq, at, atl: pw + qq + at + atl,
+                      applyP(w_p), s.q, applyAT(s, y_p),
+                      applyAT(s, y_lo))
             rhs_cg = applyA(s, unpack(backsolve(fac_p, pack(g))))
             r = ZGroups(*(-(mf * rr) for mf, rr in zip(maskf, rhs_cg)))
             dy = ZGroups(*(jnp.zeros_like(v) for v in r))
@@ -851,12 +892,12 @@ def _polish(s: _Scaled, settings: QPSettings, sigma, factorize, backsolve,
                 p = ZGroups(*(rv + bv for rv, bv in
                               zip(r, zscale(beta_cg, p))))
                 rr_old = rr_new
-            y_p = ZGroups(*(yy + d for yy, d in zip(y_p, dy)))
+            y_p, y_lo = _two_sum(y_p, y_lo, dy)
 
-    # CG moved only y, so Aw still equals A w_p here
+    # the CG refinement moved only y, so Aw still equals A w_p
     z_p = ZGroups(*(jnp.clip(aa, lo, hi) for aa, lo, hi in
                     zip(Aw, s.l, s.u)))
-    return w_p, z_p, y_p
+    return w_p, z_p, y_p, y_lo
 
 
 # ---------------------------------------------------------------------------
@@ -1049,14 +1090,16 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
         bdot = lambda a, b: sum(
             jnp.sum(x * yv, axis=tuple(range(1, x.ndim)))
             for x, yv in zip(a, b))
-        bscale = lambda c_, z_: ZGroups(
+        bscale = lambda c_, z_: type(z_)(
             *(c_.reshape((B,) + (1,) * (v.ndim - 1)) * v for v in z_))
-        w_p, z_p, y_p = _polish(
+        w_p, z_p, y_p, y_lo = _polish(
             s, settings, sigma, factorize, backsolve, w, y, nx, nu,
             applyA=vA, applyAT=vAT, assemble=vasm, pack=vpack,
             unpack=vunpack, zdot=bdot, zscale=bscale)
+        vres_lo = jax.vmap(lambda s_, w_, z_, y_, ylo_: _residuals(
+            s_, settings, w_, z_, y_, ylo_))
         (prim_p, dual_p, eps_prim_p, eps_dual_p,
-         _, _) = vres(s, w_p, z_p, y_p)
+         _, _) = vres_lo(s, w_p, z_p, y_p, y_lo)
         better = (prim_p < prim) & (dual_p < dual)
         pick = lambda a, b: jnp.where(bc(better, a), a, b)
         w = _wmap(pick, w_p, w)
@@ -1321,10 +1364,10 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
         dual = jnp.where(adopt, db, dual)
 
     if settings.polish and not pallas_loop:
-        w_p, z_p, y_p = _polish(s, settings, sigma, factorize, backsolve,
-                                w, y, nx, nu)
+        w_p, z_p, y_p, y_lo = _polish(s, settings, sigma, factorize,
+                                      backsolve, w, y, nx, nu)
         (prim_p, dual_p, eps_prim_p, eps_dual_p,
-         _, _) = _residuals(s, settings, w_p, z_p, y_p)
+         _, _) = _residuals(s, settings, w_p, z_p, y_p, y_lo)
         # OSQP acceptance: keep the polished iterate only if BOTH
         # residuals improve.  A weakly-active row pinned by mistake (its
         # true multiplier is ~0) shows up as a worse primal residual and

@@ -58,6 +58,7 @@ def run_bench(extra):
 
 
 SKIP_EXTRAS = ["--no-stochastic", "--no-mpc", "--no-n165",
+               "--no-presets",
                "--latency-probes", "0", "--chip-latency-problems", "0"]
 
 TRACE_COMBOS = [
@@ -65,8 +66,13 @@ TRACE_COMBOS = [
     # the accuracy-tier table, kernel parity + exact, the latency-probe
     # shape, the stochastic record and the MPC tick chain (N=165 is
     # never traced -- n165_record is skipped under --trace-only)
+    # the preset coverage matrix traces via --preset-matrix pointed at
+    # the tiny preset (the real 4-preset matrix is full-horizon -- too
+    # heavy for smoke; its solve path is identical, and the wrench6
+    # family is covered by tests/test_full_horizons.py)
     ["--factor", "pallas", "--polish", "--batch", str(PALLAS_MIN_BATCH),
-     "--latency-probes", "2", "--no-n165"],
+     "--latency-probes", "2", "--no-n165",
+     "--preset-matrix", TINY_NAME],
     ["--factor", "pallas", "--rho", "always",
      "--batch", str(PALLAS_MIN_BATCH), "--no-accuracy", "--no-parity"]
     + SKIP_EXTRAS,

@@ -243,3 +243,38 @@ def test_f32_polish_reaches_parity_bar(problem):
     u_err = float(jnp.abs(sol.U.astype(jnp.float64) - ref.U).max())
     assert x_err < 1e-4, x_err
     assert u_err < 1e-4, u_err
+
+
+def test_two_float_dual_certifies_tight_f32_tier(problem):
+    """VERDICT round-4 item 3 (eps <= 1e-5 certification in f32): the
+    polish carries the refined dual as a two-float (hi, lo) pair
+    (ops/blockqp._two_sum) because one f32 ulp of the O(1e2) scaled
+    equality duals is the size of the whole eps=1e-5 dual residual --
+    round 4's 'f32 dual floor' (8% of bench lanes missing the
+    convergence flag at u_err 3.8e-6) was dual storage/measurement
+    precision, not solver accuracy.  This pins the fix on the CPU
+    backend with the same f32 arithmetic: a tier-settings f32 solve of
+    the N=50 trot QP must certify eps_abs=eps_rel=1e-5 and report a
+    dual residual well under the relative threshold (on-chip evidence:
+    BENCH_r05 accuracy_tiers eps=1e-5 success_frac 1.0 at batch 128).
+    """
+    prob, data = problem
+    qp64 = blockqp.build_block_qp(prob.model, prob.plan.schedule,
+                                  prob.ocp, prob.X0, prob.U0, data,
+                                  jnp.asarray(100.0), jnp.asarray(100.0))
+    qp32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, qp64)
+    tier = QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=4000,
+                      adaptive_rho=False, check_interval=10, alpha=1.7,
+                      stall_segments=30, polish=True,
+                      polish_rho_ramp=10.0, polish_cg_iters=20,
+                      polish_cg_restarts=3)
+    w0 = blockqp.WVars(x=qp32.qx * 0 + prob.X0.astype(jnp.float32),
+                       u=prob.U0.astype(jnp.float32),
+                       t=jnp.zeros(prob.X0.shape[0], jnp.float32))
+    sol = blockqp.solve_block_qp(qp32, tier, w0=w0)
+    assert bool(sol.converged), (float(sol.prim_res), float(sol.dual_res))
+    # the dual threshold for this QP sits at ~2.6e-2 (unscaled,
+    # relative); the two-float dual lands the median lane near 1e-3
+    assert float(sol.dual_res) < 2.6e-2, float(sol.dual_res)
