@@ -1100,7 +1100,11 @@ def _admm_loop_batched(s: _Scaled, w: WVars, y: ZGroups,
             s_, settings, w_, z_, y_, ylo_))
         (prim_p, dual_p, eps_prim_p, eps_dual_p,
          _, _) = vres_lo(s, w_p, z_p, y_p, y_lo)
-        better = (prim_p < prim) & (dual_p < dual)
+        # normalized worst-residual acceptance (see the per-scenario
+        # path below for why not OSQP's both-must-improve)
+        worst = jnp.maximum(prim / eps_prim_p, dual / eps_dual_p)
+        worst_p = jnp.maximum(prim_p / eps_prim_p, dual_p / eps_dual_p)
+        better = worst_p < worst
         pick = lambda a, b: jnp.where(bc(better, a), a, b)
         w = _wmap(pick, w_p, w)
         z = _zmap(pick, z_p, z)
@@ -1368,11 +1372,21 @@ def solve_block_qp(qp: BlockQP, settings: QPSettings = QPSettings(),
                                       backsolve, w, y, nx, nu)
         (prim_p, dual_p, eps_prim_p, eps_dual_p,
          _, _) = _residuals(s, settings, w_p, z_p, y_p, y_lo)
-        # OSQP acceptance: keep the polished iterate only if BOTH
-        # residuals improve.  A weakly-active row pinned by mistake (its
-        # true multiplier is ~0) shows up as a worse primal residual and
-        # rejects the polish rather than degrading the solution.
-        better = (prim_p < prim) & (dual_p < dual)
+        # Acceptance: keep the polished iterate if its NORMALIZED worst
+        # residual max(prim/eps_prim, dual/eps_dual) improves.  OSQP's
+        # both-must-improve gate is a knife-edge here: the ADMM primal
+        # is already at the f32 floor (~e-7), so 'prim_p < prim' flips
+        # on roundoff noise -- measured as lanes polishing on one
+        # factorization backend but not the other, widening the bench's
+        # pallas-vs-cholesky parity band to the unpolished error
+        # (u_err 0.08).  The normalized gate keeps OSQP's protection --
+        # a weakly-active row pinned by mistake shows up as a primal
+        # residual far above eps_prim and still rejects -- while a
+        # dual improvement of 10x+ is never vetoed by one ulp of
+        # primal noise.
+        worst = jnp.maximum(prim / eps_prim_p, dual / eps_dual_p)
+        worst_p = jnp.maximum(prim_p / eps_prim_p, dual_p / eps_dual_p)
+        better = worst_p < worst
         pick = lambda a, b: jnp.where(better, a, b)
         w = _wmap(pick, w_p, w)
         z = _zmap(pick, z_p, z)
